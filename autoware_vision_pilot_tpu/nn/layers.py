@@ -1,0 +1,187 @@
+"""Layer library with exact PyTorch numeric semantics, NHWC layout.
+
+Everything runs in NHWC (the natural TPU layout — lanes along channels feed
+the MXU/VPU directly); the reference's NCHW tensors are transposed once at
+the framework boundary. Parity rules (validated in tests/test_layers.py):
+
+- Conv2d           : kernel HWIO; torch OIHW -> transpose(2,3,1,0).
+- ConvTranspose2d  : ``lax.conv_transpose(transpose_kernel=True)`` with
+                     kernel (kh,kw,O,I); torch IOHW -> transpose(2,3,1,0).
+- Linear           : kernel (in,out) = torch weight.T.
+- BatchNorm2d      : flax BatchNorm; torch momentum m -> flax momentum 1-m.
+- GELU             : exact (erf) form — torch nn.GELU default. jax.nn.gelu
+                     defaults to the tanh approximation, so approximate=False
+                     is load-bearing for <=1e-3 parity.
+- max_pool2d       : reduce_window, explicit symmetric padding.
+
+Param leaf names are chosen so the torch->JAX converter
+(convert/torch_import.py) can infer the transform from the leaf name alone:
+'w' = conv kernel, 'wt' = conv-transpose kernel, 'wl' = linear kernel.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import flax.linen as fnn
+
+
+def gelu(x):
+    """Exact GELU (torch nn.GELU default)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class Conv2d(fnn.Module):
+    """NHWC conv with torch Conv2d semantics (symmetric integer padding)."""
+    features: int
+    kernel_size: Any = 3
+    stride: Any = 1
+    padding: Any = 0
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    precision: Any = None
+
+    @fnn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        cin = x.shape[-1]
+        w = self.param(
+            "w",
+            fnn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (kh, kw, cin // self.groups, self.features),
+            self.param_dtype,
+        )
+        dtype = self.dtype or x.dtype
+        ph, pw = _pair(self.padding)
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            w.astype(dtype),
+            window_strides=_pair(self.stride),
+            padding=[(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            precision=self.precision,
+        )
+        if self.use_bias:
+            b = self.param("b", fnn.initializers.zeros, (self.features,),
+                           self.param_dtype)
+            y = y + b.astype(dtype)
+        return y
+
+
+class ConvTranspose2d(fnn.Module):
+    """NHWC transposed conv with torch ConvTranspose2d semantics.
+
+    Kernel layout (kh, kw, out, in) used with transpose_kernel=True so a
+    torch weight (in, out, kh, kw) imports as transpose(2, 3, 1, 0).
+    Only the k==s, padding=0 case (the reference's upsample blocks) needs
+    to be exact; general strides follow the same convention.
+    """
+    features: int
+    kernel_size: Any = 2
+    stride: Any = 2
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    precision: Any = None
+
+    @fnn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        cin = x.shape[-1]
+        w = self.param(
+            "wt",
+            fnn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (kh, kw, self.features, cin),
+            self.param_dtype,
+        )
+        dtype = self.dtype or x.dtype
+        y = lax.conv_transpose(
+            x.astype(dtype),
+            w.astype(dtype),
+            strides=_pair(self.stride),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+            precision=self.precision,
+        )
+        if self.use_bias:
+            b = self.param("b", fnn.initializers.zeros, (self.features,),
+                           self.param_dtype)
+            y = y + b.astype(dtype)
+        return y
+
+
+class Linear(fnn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    precision: Any = None
+
+    @fnn.compact
+    def __call__(self, x):
+        w = self.param(
+            "wl",
+            fnn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
+            (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dtype), w.astype(dtype), precision=self.precision)
+        if self.use_bias:
+            b = self.param("b", fnn.initializers.zeros, (self.features,),
+                           self.param_dtype)
+            y = y + b.astype(dtype)
+        return y
+
+
+class BatchNorm2d(fnn.Module):
+    """BatchNorm over NHWC channels; torch eps/momentum conventions."""
+    eps: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, train: bool = False):
+        bn = fnn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            axis_name=None,
+            name="bn",
+        )
+        return bn(x)
+
+
+def max_pool2d(x, kernel: int, stride: int | None = None, padding: int = 0):
+    """torch nn.MaxPool2d semantics on NHWC."""
+    stride = stride or kernel
+    pad = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x, neg_inf, lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=pad,
+    )
+
+
+def upsample2x_nearest(x):
+    """torch nn.Upsample(scale_factor=2) (default mode='nearest'), NHWC."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)

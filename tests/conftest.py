@@ -1,0 +1,38 @@
+"""Test config: run on a virtual 8-device CPU mesh.
+
+Set before jax initializes; the multi-chip sharding tests rely on 8 virtual
+devices, parity tests on f32 CPU numerics.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The TPU tunnel environment pre-imports jax from sitecustomize, which
+# latches JAX_PLATFORMS before this file runs — override via config too.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+REFERENCE = pathlib.Path("/root/reference")
+
+import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    if REFERENCE.exists():
+        return
+    skip = pytest.mark.skip(reason="/root/reference not mounted")
+    for item in items:
+        if "ref_parity" in item.keywords:
+            item.add_marker(skip)
