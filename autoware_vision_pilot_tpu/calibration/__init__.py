@@ -1,0 +1,12 @@
+from .camera_pose import (
+    get_rotation_matrix,
+    undistort_image,
+    rotation_homography,
+    standardize_pose,
+)
+from .homography import (
+    compute_homography,
+    homography_reprojection_error,
+    save_homography_yaml,
+    load_homography_yaml,
+)

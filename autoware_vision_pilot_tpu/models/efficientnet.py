@@ -30,6 +30,16 @@ B0_STAGES = (
     (6, 192, 4, 2, 5),
     (6, 320, 1, 1, 3),
 )
+# EfficientNet-B1: same widths, depth-scaled block counts (torchvision b1)
+B1_STAGES = (
+    (1, 16, 2, 1, 3),
+    (6, 24, 3, 2, 3),
+    (6, 40, 3, 2, 5),
+    (6, 80, 4, 2, 3),
+    (6, 112, 4, 1, 5),
+    (6, 192, 5, 2, 5),
+    (6, 320, 2, 1, 3),
+)
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.9  # flax convention (= 1 - torch 0.1)
 
@@ -61,6 +71,7 @@ class MBConv(fnn.Module):
     kernel: int
     stride: int
     sd_prob: float = 0.0  # stochastic depth (row mode); identity at eval
+    dilation: int = 1     # >1 for dilated output-stride variants (Lite)
     dtype: Any = None
     param_dtype: Any = jnp.float32
     precision: Any = None
@@ -81,8 +92,10 @@ class MBConv(fnn.Module):
             h = silu(h)
             idx += 1
         # depthwise
-        h = Conv2d(ce, self.kernel, self.stride, (self.kernel - 1) // 2,
-                   groups=ce, use_bias=False, name=f"block_{idx}_0", **kw)(h)
+        pad = (self.kernel - 1) // 2 * self.dilation
+        h = Conv2d(ce, self.kernel, self.stride, pad,
+                   groups=ce, use_bias=False, dilation=self.dilation,
+                   name=f"block_{idx}_0", **kw)(h)
         h = fnn.BatchNorm(use_running_average=not train,
                           name=f"block_{idx}_1", **bn_kw)(h)
         h = silu(h)
@@ -150,3 +163,55 @@ class EfficientNetB0Features(fnn.Module):
         l8 = silu(h)
 
         return [l0, outs[2], outs[3], outs[4], l8]
+
+
+class EfficientNetEncoder(fnn.Module):
+    """Generic EfficientNet encoder for the Lite models: configurable
+    stages (B0/B1) and output stride (8/16/32 — strides past the limit
+    become dilations, the smp-style dilated encoder). Returns the pyramid
+    [input, stem, s2, s3, s4, s6-head] style features used by DeepLabV3+/
+    UNet++: here [stem(s2), c24(s4), c40(s8), c112(s16'), c320(s32')]."""
+    stages: Any = B0_STAGES
+    output_stride: int = 32
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    precision: Any = None
+    stochastic_depth: float = 0.2
+
+    @fnn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  precision=self.precision)
+        bn_kw = dict(epsilon=BN_EPS, momentum=BN_MOMENTUM,
+                     dtype=self.dtype, param_dtype=self.param_dtype)
+
+        h = Conv2d(32, 3, 2, 1, use_bias=False, name="stem_0", **kw)(x)
+        h = fnn.BatchNorm(use_running_average=not train,
+                          name="stem_1", **bn_kw)(h)
+        h = silu(h)
+        feats = [h]  # stride 2
+
+        total_blocks = sum(s[2] for s in self.stages)
+        block_id = 0
+        cin = 32
+        cur_stride = 2
+        dilation = 1
+        for stage_i, (t, c, n, s, k) in enumerate(self.stages, start=1):
+            for j in range(n):
+                stride = s if j == 0 else 1
+                d = dilation
+                if stride == 2 and cur_stride >= self.output_stride:
+                    # convert stride to dilation (keep receptive field)
+                    dilation *= 2
+                    d = dilation
+                    stride = 1
+                elif stride == 2:
+                    cur_stride *= 2
+                sd = self.stochastic_depth * block_id / total_blocks
+                h = MBConv(cin, c, t, k, stride, sd_prob=sd, dilation=d,
+                           name=f"s{stage_i}_{j}", **kw)(h, train=train)
+                cin = c
+                block_id += 1
+            if stage_i in (2, 3, 5, 7):
+                feats.append(h)
+        return feats  # [s2(32ch), s4(24), s8(40), s16'(112), s32'(320)]

@@ -17,12 +17,14 @@ class SceneSegNetwork(fnn.Module):
     dtype: Any = None
     param_dtype: Any = jnp.float32
     precision: Any = None
+    ctx_hw: tuple = (10, 20)  # stride-32 map of the 320x640 reference input
 
     @fnn.compact
     def __call__(self, image, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   precision=self.precision)
         features = EfficientNetB0Features(name="Backbone", **kw)(image, train=train)
-        context = ContextBlock(1280, name="SceneContext", **kw)(features[4], train=train)
+        context = ContextBlock(1280, *self.ctx_hw, name="SceneContext",
+                               **kw)(features[4], train=train)
         neck = UNeck(1280, name="SceneNeck", **kw)(context, features)
         return SegHead(3, name="SceneSegHead", **kw)(neck, features)

@@ -49,6 +49,7 @@ class Conv2d(fnn.Module):
     padding: Any = 0
     groups: int = 1
     use_bias: bool = True
+    dilation: int = 1
     dtype: Any = None
     param_dtype: Any = jnp.float32
     precision: Any = None
@@ -70,6 +71,7 @@ class Conv2d(fnn.Module):
             w.astype(dtype),
             window_strides=_pair(self.stride),
             padding=[(ph, ph), (pw, pw)],
+            rhs_dilation=_pair(self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
             precision=self.precision,

