@@ -1,0 +1,77 @@
+"""Dataset parsers on synthetic fixtures of each annotation format."""
+import json
+import numpy as np
+
+from autoware_vision_pilot_tpu.data_parsing import (
+    rasterize_lanes, parse_tusimple_label, parse_culane_lines,
+    bdd100k_drivable_to_sceneseg, lidar_depth_fill, write_unified_sample,
+)
+from autoware_vision_pilot_tpu.data_parsing.common import classify_ego_lanes
+from autoware_vision_pilot_tpu.train.datasets import (
+    decode_scene_seg_mask, SCENESEG_COLOURS)
+
+
+def test_tusimple_parse():
+    rec = {"lanes": [[-2, 100, 120, 140], [-2, 500, 520, 540]],
+           "h_samples": [200, 240, 280, 320], "raw_file": "clips/a.jpg"}
+    out = parse_tusimple_label(json.dumps(rec))
+    assert len(out["lanes"]) == 2
+    np.testing.assert_allclose(out["lanes"][0][0], [100, 240])
+    assert out["raw_file"] == "clips/a.jpg"
+
+
+def test_culane_parse():
+    text = "10.0 590 50 400 90 200\n800 590 700 400\n"
+    lanes = parse_culane_lines(text)
+    assert len(lanes) == 2
+    assert lanes[0].shape == (3, 2)
+
+
+def test_classify_and_rasterize():
+    # left lane near x=200, right near x=500, another far right
+    left = np.array([[200, 300], [210, 100]], np.float32)
+    right = np.array([[500, 300], [490, 100]], np.float32)
+    other = np.array([[620, 300], [610, 100]], np.float32)
+    li, ri = classify_ego_lanes([left, right, other], 640)
+    assert (li, ri) == (0, 1)
+    masks = rasterize_lanes([left, right, other], (320, 640))
+    assert masks.shape == (320, 640, 3)
+    assert masks[..., 0].sum() > 0 and masks[..., 1].sum() > 0
+    assert masks[..., 2].sum() > 0
+    # ego-left mask is on the left half
+    ys, xs = np.where(masks[..., 0] > 0)
+    assert xs.mean() < 320
+
+
+def test_bdd100k_color_mapping_roundtrip():
+    ids = np.zeros((8, 8), np.uint8)
+    ids[0] = 0    # road
+    ids[1] = 13   # car
+    ids[2] = 10   # sky
+    rgb = bdd100k_drivable_to_sceneseg(ids)
+    assert tuple(rgb[0, 0]) == SCENESEG_COLOURS["road"]
+    dec, w = decode_scene_seg_mask(rgb)
+    assert (dec[0] == 2).all()   # road
+    assert (dec[1] == 1).all()   # foreground
+    assert (dec[2] == 0).all()   # sky -> background
+
+
+def test_lidar_depth_fill():
+    sparse = np.zeros((32, 32), np.float32)
+    sparse[8, 8] = 5.0
+    sparse[20, 25] = 12.0
+    dense = lidar_depth_fill(sparse)
+    assert (dense > 0).all()
+    assert dense[8, 8] == 5.0 and dense[20, 25] == 12.0
+
+
+def test_write_unified_sample(tmp_path):
+    img = np.zeros((16, 16, 3), np.uint8)
+    lab = np.zeros((16, 16, 3), np.uint8)
+    lab[:] = SCENESEG_COLOURS["road"]
+    write_unified_sample(tmp_path, "s0", img, lab)
+    assert (tmp_path / "images" / "s0.png").exists()
+    import cv2
+    back = cv2.cvtColor(cv2.imread(str(tmp_path / "labels" / "s0.png")),
+                        cv2.COLOR_BGR2RGB)
+    assert tuple(back[0, 0]) == SCENESEG_COLOURS["road"]
