@@ -97,7 +97,8 @@ class DetectionTrainer:
         """One optimization step. images normalized [0,1] float expected
         by the detector (YOLO convention: /255, no mean-std)."""
         x = jnp.asarray(images_u8, jnp.float32) / 255.0
-        x = jax.device_put(x, data_sharding(self.mesh, x.ndim))
+        if x.shape[0] % self.mesh.devices.size == 0:
+            x = jax.device_put(x, data_sharding(self.mesh, x.ndim))
         self.rng, k = jax.random.split(self.rng)
         (self.params, self.batch_stats, self.opt_state, self.ema_params,
          loss, parts) = self._train_step(
