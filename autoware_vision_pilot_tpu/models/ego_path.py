@@ -20,8 +20,11 @@ from .components import ContextBlock
 
 
 class BEVPathContext(fnn.Module):
-    """ContextBlock(1456) + trailing 2x ConvTranspose upsample
-    (bev_path_context.py)."""
+    """1456-channel context block (bev_path_context.py). The reference
+    declares a trailing 2x ConvTranspose `upsample_layer` but never calls
+    it in forward (dead parameter) — we match the executed graph, so
+    checkpoints import with strict=False (the unused upsample weights are
+    skipped)."""
     in_ch: int = 1456
     ctx_h: int = 10
     ctx_w: int = 20
@@ -33,12 +36,6 @@ class BEVPathContext(fnn.Module):
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   precision=self.precision)
-        ctx = ContextBlock(self.in_ch, self.ctx_h, self.ctx_w,
-                           name="_ctx", **kw)
-        # reuse ContextBlock's exact math but expose the torch param names
-        # at this level: delegate via module sharing is overkill — the
-        # reference's BEVPathContext has identical context_layer_* weights,
-        # so we instantiate the same layers here.
         drop = fnn.Dropout(0.25, deterministic=not train)
         v = jnp.mean(x, axis=(1, 2))
         c = Linear(800, name="context_layer_0", **kw)(v)
@@ -52,9 +49,7 @@ class BEVPathContext(fnn.Module):
         c = gelu(Conv2d(256, 3, 1, 1, name="context_layer_4", **kw)(c))
         c = gelu(Conv2d(512, 3, 1, 1, name="context_layer_5", **kw)(c))
         c = gelu(Conv2d(self.in_ch, 3, 1, 1, name="context_layer_6", **kw)(c))
-        context = c * x + x
-        return ConvTranspose2d(self.in_ch, 2, 2,
-                               name="upsample_layer", **kw)(context)
+        return c * x + x
 
 
 class AutoSteerHead(fnn.Module):

@@ -87,7 +87,12 @@ class LiteTrainer:
     def __init__(self, model, cfg: Dict[str, Any],
                  batch_iter: Callable, val_iter: Optional[Callable] = None,
                  input_hw=(512, 1024), num_classes: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, pseudo_labeler: Optional[Callable] = None):
+        # pseudo_labeler(images_u8) -> labels: teacher-model hook for
+        # unlabeled batches (the DepthAnythingV2 pseudo-labeling path,
+        # lite_trainer_base.py:249-278). Batches yielding labels=None are
+        # routed through it.
+        self.pseudo_labeler = pseudo_labeler
         self.cfg = cfg
         self.model = model
         self.batch_iter = batch_iter
@@ -179,6 +184,10 @@ class LiteTrainer:
         from ..ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
         for step in range(int(self.state.step), max_steps):
             images, labels = next(it)
+            if labels is None:
+                if self.pseudo_labeler is None:
+                    raise ValueError("unlabeled batch but no pseudo_labeler")
+                labels = self.pseudo_labeler(images)
             x = images.astype(np.float32) / 255.0
             x = (x - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
             self.rng, k = jax.random.split(self.rng)

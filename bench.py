@@ -68,6 +68,58 @@ def build_pipeline():
     return pipeline
 
 
+def bench_clip(batch: int = 10, clip_len: int = 100):
+    """BASELINE config 3: EgoLanes + DomainSeg over a batched 100-frame
+    clip — the time dimension becomes the batch dimension (the closest
+    meaningful analog of sequence parallelism for this workload,
+    SURVEY §5.7). Prints a JSON line with clip frames/sec."""
+    import json
+    from autoware_vision_pilot_tpu.models import (
+        EgoLanesNetwork, DomainSegNetwork)
+    from autoware_vision_pilot_tpu.ops import (
+        preprocess_imagenet, threshold_channels)
+
+    kw = dict(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    lanes = EgoLanesNetwork(**kw)
+    domain = DomainSegNetwork(**kw)
+    key = jax.random.key(0)
+    x0 = jnp.zeros((batch, 320, 640, 3), jnp.bfloat16)
+    lv = lanes.init(key, x0)
+    dv = domain.init(key, x0)
+
+    @jax.jit
+    def lanes_step(frames_u8):
+        x = preprocess_imagenet(frames_u8, (320, 640), dtype=jnp.bfloat16)
+        return threshold_channels(
+            lanes.apply(lv, x).astype(jnp.float32)), x
+
+    @jax.jit
+    def domain_step(x):
+        return domain.apply(dv, x).astype(jnp.float32) > 0
+
+    rng = np.random.default_rng(0)
+    clip = jnp.asarray(rng.integers(0, 256, (clip_len, 720, 1280, 3),
+                                    dtype=np.uint8))
+    def run_clip():
+        outs = []
+        for i in range(0, clip_len, batch):
+            masks, x = lanes_step(clip[i:i + batch])
+            outs.append(domain_step(x))
+        jax.block_until_ready(outs[-1])
+
+    run_clip()  # compile
+    t0 = time.perf_counter()
+    n_rep = 5
+    for _ in range(n_rep):
+        run_clip()
+    dt = (time.perf_counter() - t0) / n_rep
+    fps = clip_len / dt
+    print(json.dumps({
+        "metric": "egolanes+domainseg_clip100_fps_per_chip",
+        "value": round(fps, 2), "unit": "frames/sec",
+        "vs_baseline": round(fps / 30.0, 3)}))
+
+
 def main():
     # persistent compilation cache (analog of the TRT engine cache)
     cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
@@ -99,4 +151,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--clip" in sys.argv:
+        cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+        cache_dir.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        bench_clip()
+    else:
+        main()
