@@ -17,6 +17,7 @@ class _DomainSegUpstream(fnn.Module):
     dtype: Any = None
     param_dtype: Any = jnp.float32
     precision: Any = None
+    ctx_hw: tuple = (10, 20)
 
     @fnn.compact
     def __call__(self, image, train: bool = False):
@@ -24,8 +25,8 @@ class _DomainSegUpstream(fnn.Module):
                   precision=self.precision)
         features = EfficientNetB0Features(name="pretrainedBackBone", **kw)(
             image, train=False)
-        context = ContextBlock(1280, name="pretrainedContext", **kw)(
-            features[4], train=False)
+        context = ContextBlock(1280, *self.ctx_hw, name="pretrainedContext",
+                               **kw)(features[4], train=False)
         neck = UNeck(1280, name="pretrainedNeck", **kw)(context, features)
         if train:
             neck = jax.lax.stop_gradient(neck)
@@ -37,11 +38,13 @@ class DomainSegNetwork(fnn.Module):
     dtype: Any = None
     param_dtype: Any = jnp.float32
     precision: Any = None
+    ctx_hw: tuple = (10, 20)
 
     @fnn.compact
     def __call__(self, image, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   precision=self.precision)
-        neck, features = _DomainSegUpstream(name="DomainSegUpstream", **kw)(
+        neck, features = _DomainSegUpstream(
+            name="DomainSegUpstream", ctx_hw=self.ctx_hw, **kw)(
             image, train=train)
         return SegHead(1, name="DomainSegHead", **kw)(neck, features)

@@ -22,6 +22,7 @@ class EgoLanesNetwork(fnn.Module):
     dtype: Any = None
     param_dtype: Any = jnp.float32
     precision: Any = None
+    ctx_hw: tuple = (10, 20)
 
     @fnn.compact
     def __call__(self, image, train: bool = False):
@@ -30,7 +31,7 @@ class EgoLanesNetwork(fnn.Module):
         features = EfficientNetB0Features(name="BEVBackbone", **kw)(
             image, train=train)
         fused = BackboneFeatureFusion(name="BackboneFeatureFusion")(features)
-        context = ContextBlock(1456, name="AutoSteerContext", **kw)(
-            fused, train=train)
+        context = ContextBlock(1456, *self.ctx_hw, name="AutoSteerContext",
+                               **kw)(fused, train=train)
         neck = UNeck(1456, name="EgopathNeck", **kw)(context, features)
         return EgoLanesHead(name="EgoLanesHead", **kw)(neck)

@@ -36,6 +36,7 @@ class Scene3DNetwork(fnn.Module):
     dtype: Any = None
     param_dtype: Any = jnp.float32
     precision: Any = None
+    ctx_hw: tuple = (10, 20)
 
     @fnn.compact
     def __call__(self, image, train: bool = False):
@@ -43,7 +44,7 @@ class Scene3DNetwork(fnn.Module):
                   precision=self.precision)
         features = _PreTrainedBackbone(name="PreTrainedBackbone", **kw)(
             image, train=train)
-        context = ContextBlock(1280, name="DepthContext", **kw)(
-            features[4], train=train)
+        context = ContextBlock(1280, *self.ctx_hw, name="DepthContext",
+                               **kw)(features[4], train=train)
         neck = UNeck(1280, name="DepthNeck", **kw)(context, features)
         return DepthHead(name="SuperDepthHead", **kw)(neck, features)

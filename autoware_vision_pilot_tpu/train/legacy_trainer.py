@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import numpy as np
 import jax
@@ -43,6 +43,8 @@ class LegacyTrainerConfig:
     ckpt_dir: str = "runs/legacy"
     log_every: int = 250
     batch_schedule: Sequence[int] = BATCH_SIZE_SCHEDULE
+    task: str = "seg"  # 'seg' (mIoU validation) | 'dense' (val-loss only)
+    label_dtype: Any = None  # default: int32 for seg, float32 for dense
 
 
 class LegacySegTrainer:
@@ -146,20 +148,54 @@ class LegacySegTrainer:
 
     def validate_and_save(self, epoch):
         cm_total = None
-        for ds in self.datasets:
-            n_val = ds.item_count()[1]
-            for imgs, labs, _ in batched_loader(ds, range(n_val), 4,
-                                                self.cfg.hw, train=False):
-                cm = self._val_step(self.params, self.batch_stats,
-                                    jnp.asarray(imgs), jnp.asarray(labs))
-                cm_total = cm if cm_total is None else cm_total + cm
-        if cm_total is None:
-            return None
-        iou, miou, overall = miou_from_confusion(cm_total)
+        if self.cfg.task == "seg":
+            for ds in self.datasets:
+                n_val = ds.item_count()[1]
+                for imgs, labs, _ in batched_loader(ds, range(n_val), 4,
+                                                    self.cfg.hw,
+                                                    train=False):
+                    cm = self._val_step(self.params, self.batch_stats,
+                                        jnp.asarray(imgs),
+                                        jnp.asarray(labs))
+                    cm_total = cm if cm_total is None else cm_total + cm
         import pathlib
         p = pathlib.Path(self.cfg.ckpt_dir)
         p.mkdir(parents=True, exist_ok=True)
         save_msgpack(
             p / f"iter_{self.sample_count}_epoch_{epoch}.msgpack",
             {"params": self.params, "batch_stats": self.batch_stats})
+        if cm_total is None:
+            return None
+        iou, miou, overall = miou_from_confusion(cm_total)
         return miou, overall
+
+
+def make_scene3d_trainer(model, datasets, cfg: LegacyTrainerConfig = None,
+                         edge_scale: float = 1.0, **kw):
+    """Scene3D legacy trainer: SSI robust-mAE + multi-scale edge loss
+    (scene_3d_trainer.py:151-196). Dataset labels are float depth maps."""
+    from .losses import ssi_mae_depth_loss
+    cfg = cfg or LegacyTrainerConfig(task="dense",
+                                     ckpt_dir="runs/scene3d")
+
+    def loss(logits, tgt, w):
+        tgt = tgt[..., None] if tgt.ndim == 3 else tgt
+        total, _, _ = ssi_mae_depth_loss(logits, tgt, edge_scale)
+        return total
+
+    return LegacySegTrainer(model, datasets, cfg, loss_fn=loss, **kw)
+
+
+def make_egolanes_trainer(model, datasets, cfg: LegacyTrainerConfig = None,
+                          **kw):
+    """EgoLanes legacy trainer: per-channel BCE + multi-scale edge loss
+    (ego_lanes_trainer.py:268-542). Labels are (H/4, W/4, 3) binary masks."""
+    from .losses import lanes_bce_edge_loss
+    cfg = cfg or LegacyTrainerConfig(task="dense",
+                                     ckpt_dir="runs/egolanes")
+
+    def loss(logits, tgt, w):
+        total, _, _ = lanes_bce_edge_loss(logits, tgt)
+        return total
+
+    return LegacySegTrainer(model, datasets, cfg, loss_fn=loss, **kw)

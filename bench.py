@@ -24,44 +24,42 @@ import jax.numpy as jnp
 
 
 def build_pipeline():
-    from autoware_vision_pilot_tpu.models import (
-        SceneSegNetwork, Scene3DNetwork, EgoLanesNetwork)
+    from autoware_vision_pilot_tpu.models import EgoLanesNetwork
+    from autoware_vision_pilot_tpu.models.multitask import (
+        SharedPerceptionStack)
     from autoware_vision_pilot_tpu.ops import (
         preprocess_imagenet, argmax_mask, threshold_channels,
         depth_minmax_scale)
 
     kw = dict(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-    seg = SceneSegNetwork(**kw)
-    depth = Scene3DNetwork(**kw)
+    # SceneSeg+Scene3D share their (frozen, identical-by-training) backbone:
+    # the fused stack computes the trunk once per frame — same outputs as
+    # the separate networks (tests/test_multitask.py), less work.
+    stack = SharedPerceptionStack(with_domain=False, **kw)
     lanes = EgoLanesNetwork(**kw)
 
     key = jax.random.key(0)
     x0 = jnp.zeros((1, 320, 640, 3), jnp.bfloat16)
-    seg_v = seg.init(key, x0)
-    depth_v = depth.init(key, x0)
+    stack_v = stack.init(key, x0)
     lanes_v = lanes.init(key, x0)
 
-    # One jitted program per network (the remote-compile tunnel in this
-    # environment caps program size; async dispatch still overlaps the
-    # three executions on device). Preprocess is fused into the first.
+    # Two jitted programs (the remote-compile tunnel caps program size;
+    # async dispatch overlaps execution). Preprocess fused into the first.
     @jax.jit
-    def pre_and_seg(frame_u8):
+    def stack_step(frame_u8):
         x = preprocess_imagenet(frame_u8[None], (320, 640),
                                 dtype=jnp.bfloat16)
-        mask = argmax_mask(seg.apply(seg_v, x).astype(jnp.float32))
-        return x, mask
-
-    @jax.jit
-    def depth_step(x):
-        return depth_minmax_scale(depth.apply(depth_v, x).astype(jnp.float32))
+        seg_logits, depth_map, _ = stack.apply(stack_v, x)
+        mask = argmax_mask(seg_logits.astype(jnp.float32))
+        d = depth_minmax_scale(depth_map.astype(jnp.float32))
+        return x, mask, d
 
     @jax.jit
     def lanes_step(x):
         return threshold_channels(lanes.apply(lanes_v, x).astype(jnp.float32))
 
     def pipeline(frame_u8):
-        x, mask = pre_and_seg(frame_u8)
-        d = depth_step(x)
+        x, mask, d = stack_step(frame_u8)
         lane_masks = lanes_step(x)
         return mask, d, lane_masks
 

@@ -99,3 +99,23 @@ def test_shm_reader_tool_runs():
                              capture_output=True, text=True, timeout=10)
         assert out.returncode == 0
         assert "frame=7" in out.stdout
+
+
+def test_frame_ring_roundtrip():
+    import numpy as np
+    from autoware_vision_pilot_tpu.host.frame_ring import FrameRing
+    rng = np.random.default_rng(0)
+    with FrameRing("/avp_test_ring", owner=True, n_slots=4,
+                   slot_bytes=64 * 64 * 3) as prod:
+        with FrameRing("/avp_test_ring") as cons:
+            assert cons.read_latest() is None
+            for i in range(1, 6):
+                f = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+                assert prod.publish(f, i)
+                got = cons.read_latest(last_seen=i - 1)
+                assert got is not None
+                frame, hdr = got
+                assert hdr.frame_number == i
+                np.testing.assert_array_equal(frame, f)
+            # nothing newer
+            assert cons.read_latest(last_seen=5) is None
