@@ -1,0 +1,80 @@
+"""Export: msgpack/orbax roundtrips, int8 PTQ error bounds, StableHLO
+serialize/deserialize round-trip."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import flax.linen as fnn
+
+from autoware_vision_pilot_tpu.export import (
+    save_msgpack, load_msgpack, save_checkpoint, load_checkpoint)
+from autoware_vision_pilot_tpu.export.quantize import (
+    quantize_weights_int8, dequantize_weights, weight_quant_error,
+    QuantizedInference)
+from autoware_vision_pilot_tpu.export.stablehlo_export import (
+    export_stablehlo, load_stablehlo)
+
+
+class Tiny(fnn.Module):
+    @fnn.compact
+    def __call__(self, x, train=False):
+        h = fnn.Conv(8, (3, 3), padding=1)(x)
+        return fnn.Conv(2, (1, 1))(fnn.relu(h))
+
+
+def test_msgpack_roundtrip(tmp_path):
+    m = Tiny()
+    v = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    p = tmp_path / "w.msgpack"
+    save_msgpack(p, v)
+    v2 = load_msgpack(p, jax.tree.map(jnp.zeros_like, v))
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_roundtrip(tmp_path):
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "step": jnp.int32(7)}
+    save_checkpoint(tmp_path / "ckpt", state, step=7)
+    restored = load_checkpoint(tmp_path / "ckpt",
+                               jax.tree.map(jnp.zeros_like, state))
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert int(restored["step"]) == 7
+
+
+def test_int8_quant_error_bounded():
+    m = Tiny()
+    v = m.init(jax.random.key(1), jnp.zeros((1, 8, 8, 3)))
+    err = weight_quant_error(v["params"])
+    assert err < 1.5 / 127  # half-ulp of symmetric int8
+
+
+def test_quantized_inference_close():
+    m = Tiny()
+    v = m.init(jax.random.key(2), jnp.zeros((1, 8, 8, 3)))
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 8, 8, 3)).astype(np.float32))
+    ref = np.asarray(m.apply(v, x))
+    q = QuantizedInference(m, v, (1, 8, 8, 3), compute_dtype=jnp.float32)
+    out = np.asarray(q(x))
+    assert np.abs(ref - out).max() < 0.05 * max(np.abs(ref).max(), 1)
+
+
+def test_stablehlo_roundtrip(tmp_path):
+    m = Tiny()
+    v = m.init(jax.random.key(3), jnp.zeros((1, 8, 8, 3)))
+
+    def fwd(x):
+        return m.apply(v, x)
+
+    p = export_stablehlo(fwd, (jnp.zeros((1, 8, 8, 3)),),
+                         tmp_path / "tiny.stablehlo")
+    assert p.exists() and p.stat().st_size > 0
+    call = load_stablehlo(p)
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(1, 8, 8, 3)).astype(np.float32))
+    out = call(x)
+    out = out[0] if isinstance(out, (tuple, list)) else out
+    out = np.asarray(out).reshape(1, 8, 8, 2)
+    np.testing.assert_allclose(out, np.asarray(fwd(x)), atol=1e-6)

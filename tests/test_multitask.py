@@ -28,17 +28,21 @@ def test_fused_stack_matches_individuals():
     d3 = Scene3DNetwork(**kw)
     d3_v = d3.init(jax.random.key(2), x)
     for col in ("params", "batch_stats"):
-        d3_v[col]["PreTrainedBackbone"]["pretrainedBackBone"] = \
-            seg_v[col]["Backbone"]
+        if "Backbone" in seg_v.get(col, {}):
+            d3_v[col]["PreTrainedBackbone"]["pretrainedBackBone"] = \
+                seg_v[col]["Backbone"]
 
-    # DomainSeg upstream = SceneSeg's backbone+context+neck
+    # DomainSeg upstream = SceneSeg's backbone+context+neck (only the
+    # backbone has batch_stats; context/neck are BN-free)
     dm = DomainSegNetwork(**kw)
     dm_v = dm.init(jax.random.key(3), x)
     for col in ("params", "batch_stats"):
         up = dm_v[col]["DomainSegUpstream"]
-        up["pretrainedBackBone"] = seg_v[col]["Backbone"]
-        up["pretrainedContext"] = seg_v[col]["SceneContext"]
-        up["pretrainedNeck"] = seg_v[col]["SceneNeck"]
+        for src_name, dst_name in [("Backbone", "pretrainedBackBone"),
+                                   ("SceneContext", "pretrainedContext"),
+                                   ("SceneNeck", "pretrainedNeck")]:
+            if src_name in seg_v.get(col, {}):
+                up[dst_name] = seg_v[col][src_name]
 
     # reference outputs
     y_seg = seg.apply(seg_v, x)
