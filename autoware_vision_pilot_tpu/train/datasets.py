@@ -148,6 +148,73 @@ class SyntheticSegDataset:
         return self._val[k]
 
 
+class DepthDataset:
+    """Scene3D-style dataset: images + float depth maps (.npy or 16-bit
+    png in millimeters). Same 90/10 split and interface as SceneSegDataset
+    (the load_data_scene_3d role)."""
+
+    def __init__(self, images_dir: str, depth_dir: str):
+        self.images = sorted(pathlib.Path(images_dir).glob("*.png"))
+        self.depths = sorted(
+            list(pathlib.Path(depth_dir).glob("*.npy")) +
+            list(pathlib.Path(depth_dir).glob("*.png")))
+        if len(self.images) != len(self.depths):
+            raise ValueError("image/depth count mismatch")
+        self.train_idx = [i for i in range(len(self.images))
+                          if (i + 1) % 10 != 0]
+        self.val_idx = [i for i in range(len(self.images))
+                        if (i + 1) % 10 == 0]
+
+    def item_count(self):
+        return len(self.train_idx), len(self.val_idx)
+
+    def _load(self, i):
+        import cv2
+        img = np.asarray(Image.open(self.images[i]).convert("RGB"))
+        p = self.depths[i]
+        if p.suffix == ".npy":
+            depth = np.load(p).astype(np.float32)
+        else:
+            depth = cv2.imread(str(p), cv2.IMREAD_UNCHANGED).astype(
+                np.float32) / 1000.0  # mm -> m
+        return img, depth, np.ones(1, np.float32)
+
+    def get_train(self, k):
+        return self._load(self.train_idx[k])
+
+    def get_val(self, k):
+        return self._load(self.val_idx[k])
+
+
+class EgoLanesMaskDataset:
+    """EgoLanes-style dataset: images + 3-channel binary lane masks at
+    quarter resolution (the load_data_ego_lanes role)."""
+
+    def __init__(self, images_dir: str, masks_dir: str):
+        self.images = sorted(pathlib.Path(images_dir).glob("*.png"))
+        self.masks = sorted(pathlib.Path(masks_dir).glob("*.png"))
+        if len(self.images) != len(self.masks):
+            raise ValueError("image/mask count mismatch")
+        self.train_idx = [i for i in range(len(self.images))
+                          if (i + 1) % 10 != 0]
+        self.val_idx = [i for i in range(len(self.images))
+                        if (i + 1) % 10 == 0]
+
+    def item_count(self):
+        return len(self.train_idx), len(self.val_idx)
+
+    def _load(self, i):
+        img = np.asarray(Image.open(self.images[i]).convert("RGB"))
+        mask = np.asarray(Image.open(self.masks[i]).convert("RGB"))
+        return img, (mask > 127).astype(np.float32), np.ones(3, np.float32)
+
+    def get_train(self, k):
+        return self._load(self.train_idx[k])
+
+    def get_val(self, k):
+        return self._load(self.val_idx[k])
+
+
 def round_robin_interleave(datasets: Sequence, rng: np.random.Generator
                            ) -> Iterator[Tuple[int, int]]:
     """Sample-by-sample multi-dataset interleave with per-epoch shuffle
