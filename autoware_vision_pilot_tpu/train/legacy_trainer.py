@@ -28,6 +28,7 @@ import optax
 from .datasets import round_robin_interleave, batched_loader
 from .losses import segmentation_ce_loss
 from .metrics import confusion_matrix, miou_from_confusion
+from ..ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
 from ..export.checkpoints import save_msgpack
 
 BATCH_SIZE_SCHEDULE = (32, 16, 8, 4, 3, 2, 1)  # per-epoch decay
@@ -74,7 +75,6 @@ class LegacySegTrainer:
                       weights, key):
             def loss(p, bs):
                 x = images.astype(jnp.float32) / 255.0
-                from ..ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
                 x = (x - IMAGENET_MEAN) / IMAGENET_STD
                 out, mut = self.model.apply(
                     {"params": p, "batch_stats": bs}, x, train=True,
@@ -92,7 +92,6 @@ class LegacySegTrainer:
 
         def val_step(params, batch_stats, images, labels):
             x = images.astype(jnp.float32) / 255.0
-            from ..ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
             x = (x - IMAGENET_MEAN) / IMAGENET_STD
             out = self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, x)

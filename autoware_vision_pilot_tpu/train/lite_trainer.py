@@ -30,6 +30,7 @@ from .losses import segmentation_ce_loss
 from .metrics import confusion_matrix, miou_from_confusion
 from .train_step import TrainState, create_seg_train_state, make_seg_train_step
 from ..core.mesh import make_mesh
+from ..ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
 from ..export.checkpoints import (
     save_checkpoint, load_checkpoint, save_msgpack)
 
@@ -137,7 +138,6 @@ class LiteTrainer:
             model, self.tx, loss_fn, mesh=self.mesh, microbatches=micro)
 
         def val_step(params, batch_stats, images, labels):
-            from ..ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
             x = images.astype(jnp.float32) / 255.0
             x = (x - IMAGENET_MEAN) / IMAGENET_STD
             out = model.apply({"params": params, "batch_stats": batch_stats}, x)
@@ -181,7 +181,6 @@ class LiteTrainer:
         log_every = int(t.get("logging", {}).get("log_every_steps", 50))
 
         it = self.batch_iter()
-        from ..ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
         for step in range(int(self.state.step), max_steps):
             images, labels = next(it)
             if labels is None:
