@@ -201,3 +201,29 @@ def test_lite_trainer_loss_decreases(tmp_path):
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
     assert (tmp_path / "last.msgpack").exists() is False  # fit() not called
+
+
+def test_multichip_batch_inference():
+    """Batch sharded over the 8-device mesh; same numerics as single-dev."""
+    import flax.linen as fnn
+    from autoware_vision_pilot_tpu.parallel.multichip_inference import (
+        make_sharded_infer)
+    from autoware_vision_pilot_tpu.core.mesh import make_mesh
+
+    class M(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            return fnn.Conv(4, (3, 3), padding=1)(x)
+
+    m = M()
+    v = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(16, 8, 8, 3)).astype(np.float32))
+    mesh = make_mesh()
+    infer = make_sharded_infer(lambda v, x: m.apply(v, x), v, mesh)
+    out = infer(x)
+    ref = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6)
+    # output actually sharded over devices
+    assert len(out.sharding.device_set) == mesh.devices.size
