@@ -185,6 +185,24 @@ def make_scene3d_trainer(model, datasets, cfg: LegacyTrainerConfig = None,
     return LegacySegTrainer(model, datasets, cfg, loss_fn=loss, **kw)
 
 
+def make_domainseg_trainer(model, datasets, cfg: LegacyTrainerConfig = None,
+                           **kw):
+    """DomainSeg legacy trainer: BCE on the binary roadwork head
+    (domain_seg_trainer.py role). Also covers the EgoSpace capability —
+    the reference's EgoSpaceTrainer imports a model module that does not
+    exist upstream (dead code); its training scheme (binary seg on the
+    frozen SceneSeg upstream) is exactly this."""
+    from .losses import binary_seg_loss
+    cfg = cfg or LegacyTrainerConfig(task="dense",
+                                     ckpt_dir="runs/domainseg")
+
+    def loss(logits, tgt, w):
+        tgt = tgt[..., None] if tgt.ndim == 3 else tgt
+        return binary_seg_loss(logits, tgt)
+
+    return LegacySegTrainer(model, datasets, cfg, loss_fn=loss, **kw)
+
+
 def make_egolanes_trainer(model, datasets, cfg: LegacyTrainerConfig = None,
                           **kw):
     """EgoLanes legacy trainer: per-channel BCE + multi-scale edge loss
