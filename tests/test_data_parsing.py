@@ -75,3 +75,58 @@ def test_write_unified_sample(tmp_path):
     back = cv2.cvtColor(cv2.imread(str(tmp_path / "labels" / "s0.png")),
                         cv2.COLOR_BGR2RGB)
     assert tuple(back[0, 0]) == SCENESEG_COLOURS["road"]
+
+
+def test_cityscapes_labelids_mapping():
+    from autoware_vision_pilot_tpu.data_parsing.cityscapes_like import (
+        cityscapes_labelids_to_sceneseg)
+    ids = np.zeros((4, 4), np.uint8)
+    ids[0] = 7    # road
+    ids[1] = 26   # car
+    ids[2] = 23   # sky
+    rgb = cityscapes_labelids_to_sceneseg(ids)
+    dec, _ = decode_scene_seg_mask(rgb)
+    assert (dec[0] == 2).all() and (dec[1] == 1).all() and (dec[2] == 0).all()
+
+
+def test_openlane_cipo_parse():
+    from autoware_vision_pilot_tpu.data_parsing.openlane import (
+        parse_openlane_cipo)
+    rec = {"raw_file": "a.jpg", "results": [
+        {"cipo_level": 1, "box2d": {"x1": 10, "y1": 20, "x2": 50, "y2": 60}},
+        {"cipo_level": 5, "box2d": {"x1": 0, "y1": 0, "x2": 5, "y2": 5}},
+        {"cipo_level": 2, "box2d": [100, 100, 150, 140]},
+        {"cipo_level": 3, "box2d": [7, 7, 7, 7]},
+    ]}
+    import json
+    out = parse_openlane_cipo(json.dumps(rec))
+    assert out["boxes"].shape == (2, 4)
+    assert list(out["labels"]) == [0, 1]
+
+
+def test_kitti_depth_projection():
+    from autoware_vision_pilot_tpu.data_parsing.kitti_depth import (
+        velodyne_to_depth)
+    # identity-ish calibration: camera at velodyne origin, x right, y down
+    P2 = np.array([[100.0, 0, 32, 0], [0, 100.0, 24, 0], [0, 0, 1, 0]])
+    R0 = np.eye(3)
+    Tr = np.hstack([np.eye(3), np.zeros((3, 1))])
+    pts = np.array([[0.0, 0.0, 10.0], [1.0, 0.5, 20.0]])
+    d = velodyne_to_depth(pts, P2, R0, Tr, (48, 64), fill=False)
+    assert abs(d[24, 32] - 10.0) < 1e-6
+    # second point at u=100*1/20+32=37, v=100*0.5/20+24=26.5->26 (round)
+    assert abs(d[26, 37] - 20.0) < 1e-6 or abs(d[27, 37] - 20.0) < 1e-6
+
+
+def test_ground_reprojection_roundtrip():
+    from autoware_vision_pilot_tpu.data_parsing.reprojection import (
+        project_points, image_to_ground, ground_to_bev_pixels)
+    K = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+    # camera 1.5m above ground looking forward; ground point 10m ahead,
+    # 2m right: camera frame (x=2, y=1.5 [down], z=10)
+    pt_cam = np.array([[2.0, 1.5, 10.0]])
+    px = project_points(pt_cam, K)
+    back = image_to_ground(px, K, np.eye(3), cam_height=1.5)
+    np.testing.assert_allclose(back[0], [2.0, 10.0], atol=1e-9)
+    bev = ground_to_bev_pixels(back)
+    np.testing.assert_allclose(bev[0], [320 + 2 * 16, 640 - 160], atol=1e-6)
