@@ -12,7 +12,6 @@ Run:  python -m autoware_vision_pilot_tpu.app --config visionpilot.conf \
 from __future__ import annotations
 
 import argparse
-import math
 import sys
 import time
 from pathlib import Path
@@ -24,7 +23,6 @@ import jax.numpy as jnp
 from .runtime.config import load_config, Config
 from .runtime.pipeline import (
     LateralPipeline, LongitudinalPipeline, PipelineEngine)
-from .runtime.timers import PerformanceMetrics
 from .perception.tracking import ObjectFinder
 from .utils.csv_logger import CsvFlightRecorder
 from .utils import visualization as viz

@@ -5,7 +5,7 @@ AutoSpeed trainer (classes = CIPO levels 1..4 -> ids 0..3).
 from __future__ import annotations
 
 import json
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

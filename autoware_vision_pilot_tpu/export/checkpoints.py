@@ -8,7 +8,6 @@ from __future__ import annotations
 import pathlib
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 from flax import serialization
 

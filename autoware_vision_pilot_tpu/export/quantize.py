@@ -14,7 +14,6 @@ jitted forward. QAT hooks come later.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
 
 import numpy as np
 import jax

@@ -10,7 +10,7 @@ ONNX-Runtime/TensorRT.
 from __future__ import annotations
 
 import pathlib
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ stays inside the program.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import numpy as np
 import jax

@@ -8,7 +8,7 @@ reference's onnxruntime/tensorrt switch (run_model_node.cpp:25-61).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax

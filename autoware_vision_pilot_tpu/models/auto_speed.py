@@ -10,7 +10,6 @@ in ops.postprocess (masked, fixed-size — TPU-jittable).
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence
 
 import jax

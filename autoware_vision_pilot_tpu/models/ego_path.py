@@ -9,14 +9,13 @@ regresses a scalar steering angle from an 800-dim flattened vector.
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import flax.linen as fnn
 
-from ..nn.layers import Conv2d, ConvTranspose2d, Linear, gelu, max_pool2d
-from .components import ContextBlock
+from ..nn.layers import Conv2d, Linear, gelu, max_pool2d
 
 
 class BEVPathContext(fnn.Module):

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as fnn
 
-from ...nn.layers import Conv2d, silu
+from ...nn.layers import Conv2d
 from ..efficientnet import EfficientNetEncoder, B0_STAGES, B1_STAGES
 
 ENCODERS = {

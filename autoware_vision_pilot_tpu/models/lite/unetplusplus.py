@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import flax.linen as fnn
 
 from ...nn.layers import Conv2d
-from ..efficientnet import EfficientNetEncoder, B0_STAGES
+from ..efficientnet import EfficientNetEncoder
 from .deeplabv3plus import ENCODERS, ConvBNReLU, _resize_to
 
 

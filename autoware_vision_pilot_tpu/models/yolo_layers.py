@@ -8,13 +8,13 @@ checkpoints import through convert.torch_import unchanged.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import flax.linen as fnn
 
-from ..nn.layers import Conv2d, Linear, max_pool2d, silu, upsample2x_nearest
+from ..nn.layers import Conv2d, max_pool2d, silu
 
 BN_EPS = 0.001
 BN_MOMENTUM_FLAX = 0.97  # torch momentum 0.03

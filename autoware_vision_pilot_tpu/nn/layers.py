@@ -20,7 +20,7 @@ Param leaf names are chosen so the torch->JAX converter
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

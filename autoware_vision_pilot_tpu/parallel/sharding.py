@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..core.mesh import DATA_AXIS, make_mesh, data_sharding
+from ..core.mesh import DATA_AXIS, data_sharding
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:

@@ -23,7 +23,7 @@ import dataclasses
 import queue
 import threading
 import time
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import numpy as np
 import jax

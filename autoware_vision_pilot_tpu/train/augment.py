@@ -11,12 +11,12 @@ and a PRNG key; everything is shape-static and vmappable.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.preprocess import resize_bilinear, IMAGENET_MEAN, IMAGENET_STD
+from ..ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
 
 
 def normalize_imagenet(img):

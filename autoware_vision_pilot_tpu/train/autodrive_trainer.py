@@ -10,7 +10,7 @@ analog.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

@@ -10,7 +10,6 @@ trainer supervises both heads with label-smoothed cross-entropy on
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import numpy as np
 import jax

@@ -17,7 +17,7 @@ benchmarks without data on disk.
 from __future__ import annotations
 
 import pathlib
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 

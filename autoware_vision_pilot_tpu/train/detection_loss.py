@@ -12,8 +12,7 @@ Loss gains follow the reference's params: box/cls/dfl weights.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

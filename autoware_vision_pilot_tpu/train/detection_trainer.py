@@ -13,7 +13,7 @@ Validation computes mAP@50 / mAP@[.5:.95] like val() (:162).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Iterator, Optional, Sequence, Tuple
+from typing import Dict, Iterator, Tuple
 
 import numpy as np
 import jax
@@ -22,7 +22,7 @@ import optax
 
 from .detection_loss import detection_loss
 from .metrics import detection_map
-from ..core.mesh import make_mesh, data_sharding, replicated
+from ..core.mesh import make_mesh, data_sharding
 from ..ops.postprocess import nms_fixed
 from ..export.checkpoints import save_msgpack
 

@@ -17,7 +17,6 @@ dispatches.
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Any, Callable, Optional, Sequence
 
 import numpy as np

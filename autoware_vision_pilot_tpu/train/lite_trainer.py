@@ -15,9 +15,7 @@ sections. Differences by design:
 """
 from __future__ import annotations
 
-import dataclasses
 import pathlib
-import time
 from typing import Any, Callable, Dict, Optional
 
 import numpy as np
@@ -28,7 +26,7 @@ import optax
 
 from .losses import segmentation_ce_loss
 from .metrics import confusion_matrix, miou_from_confusion
-from .train_step import TrainState, create_seg_train_state, make_seg_train_step
+from .train_step import create_seg_train_state, make_seg_train_step
 from ..core.mesh import make_mesh
 from ..ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
 from ..export.checkpoints import (

@@ -8,7 +8,6 @@ IoU thresholds .5:.95).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 

@@ -13,15 +13,13 @@ bf16 compute replaces AMP autocast+GradScaler (no loss scaling needed).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
 
-from ..core.mesh import make_mesh, data_sharding, replicated, DATA_AXIS
+from ..core.mesh import make_mesh, data_sharding, replicated
 
 
 @dataclasses.dataclass

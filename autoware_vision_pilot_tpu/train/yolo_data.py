@@ -9,8 +9,7 @@ batches (boxes (B, M, 4) normalized xywh + mask) for the jitted trainer.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 

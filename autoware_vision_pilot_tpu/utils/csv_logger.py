@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import csv
 import pathlib
-from typing import Optional
 
 FIELDS = [
     "frame", "steering_deg", "steering_raw_deg", "autosteer_deg",

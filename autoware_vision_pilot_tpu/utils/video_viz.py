@@ -8,7 +8,6 @@ Run: python -m autoware_vision_pilot_tpu.utils.video_viz \
 from __future__ import annotations
 
 import argparse
-import sys
 import time
 
 import numpy as np

@@ -11,7 +11,6 @@ composition.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import numpy as np
 
