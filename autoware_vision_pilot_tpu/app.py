@@ -151,6 +151,7 @@ def main(argv=None):
             s.steering_pid_deg = res.steering_deg
             s.cte_m = res.cte
             s.yaw_error_rad = res.yaw_error
+            s.lane_departure_warning = res.lane_departure
             s.cipo_exists = res.cipo_distance >= 0
             s.cipo_distance_m = max(res.cipo_distance, 0.0)
             s.cipo_velocity_ms = res.cipo_velocity

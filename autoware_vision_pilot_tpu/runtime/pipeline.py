@@ -235,6 +235,7 @@ class FrameResult:
     cut_in: bool = False
     kalman_reset: bool = False
     n_tracks: int = 0
+    lane_departure: bool = False
 
 
 class PipelineEngine:
@@ -265,8 +266,20 @@ class PipelineEngine:
                                 cfg.longitudinal.pid_Kd)
         self._stop = threading.Event()
 
-    def run(self, max_frames: Optional[int] = None):
+    def warmup(self, frame_hw=(720, 1280)):
+        """Absorb compile/first-dispatch latency before going live — the
+        reference's warm-up inference contract (main.cpp:1641-1680)."""
+        dummy = jnp.zeros((*frame_hw, 3), jnp.uint8)
+        state = self.lateral.init_state(seed=999)
+        out, _ = self.lateral(dummy, state)
+        jax.block_until_ready(out["steering_filtered"])
+        if self.longitudinal is not None:
+            jax.block_until_ready(self.longitudinal(dummy)[0])
+
+    def run(self, max_frames: Optional[int] = None, warmup: bool = False):
         """Synchronous dual-pipeline loop (threaded capture, paced)."""
+        if warmup:
+            self.warmup()
         target_dt = 1.0 / self.cfg.target_fps if self.cfg.target_fps else 0.0
         lat_state = self.lateral.init_state()
         frame_num = 0
@@ -322,6 +335,12 @@ class PipelineEngine:
             res.steering_deg = float(lat_out["steering_filtered"])
             res.cte = float(lat_out["cte"])
             res.yaw_error = float(lat_out["yaw_error"])
+            # lane departure: drift beyond 50% of the lane half-width
+            # (main.cpp unified-display warning contract)
+            lane_w = abs(float(lat_out["lane_width"]))
+            res.lane_departure = bool(
+                lat_out["fused_valid"]) and lane_w > 0.1 and \
+                abs(res.cte) > 0.5 * (lane_w / 2.0)
             t_inf = time.perf_counter()
 
             if self.sink is not None:
