@@ -170,6 +170,25 @@ class LiteTrainer:
                     config=self.cfg)
             except Exception as e:  # offline/unavailable: degrade gracefully
                 print(f"[lite] wandb disabled ({e})")
+        # TensorBoard (the reference's SummaryWriter path) — gated; also
+        # always keep a dependency-free JSONL metrics log
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(str(self.out_dir / "tb"))
+        except Exception:
+            pass
+        self._metrics_file = open(self.out_dir / "metrics.jsonl", "a")
+
+    def _log_scalar(self, name: str, value: float, step: int):
+        import json as _json
+        self._metrics_file.write(
+            _json.dumps({"step": step, name: value}) + "\n")
+        self._metrics_file.flush()
+        if self._tb:
+            self._tb.add_scalar(name, value, step)
+        if self._wandb:
+            self._wandb.log({name: value}, step=step)
 
     # -- training --
     def fit(self, max_steps: Optional[int] = None):
@@ -193,8 +212,7 @@ class LiteTrainer:
             if (step + 1) % log_every == 0:
                 l = float(loss)
                 print(f"[lite] step {step + 1} loss {l:.4f}")
-                if self._wandb:
-                    self._wandb.log({"train/loss": l}, step=step + 1)
+                self._log_scalar("train/loss", l, step + 1)
             if val_every and (step + 1) % val_every == 0:
                 self.validate(step + 1)
         if t.get("save_last", True):
@@ -216,9 +234,8 @@ class LiteTrainer:
             return None
         _, miou, overall = miou_from_confusion(cm_total)
         print(f"[lite] step {step} val mIoU {miou:.4f} overall {overall:.4f}")
-        if self._wandb:
-            self._wandb.log({"val/miou": miou, "val/overall": overall},
-                            step=step)
+        self._log_scalar("val/miou", miou, step)
+        self._log_scalar("val/overall", overall, step)
         if miou > self.best_miou and self.cfg.get("training", {}).get(
                 "save_best", True):
             self.best_miou = miou
