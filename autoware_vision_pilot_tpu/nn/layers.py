@@ -66,16 +66,33 @@ class Conv2d(fnn.Module):
         )
         dtype = self.dtype or x.dtype
         ph, pw = _pair(self.padding)
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            w.astype(dtype),
+        conv_kw = dict(
             window_strides=_pair(self.stride),
             padding=[(ph, ph), (pw, pw)],
             rhs_dilation=_pair(self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
-            precision=self.precision,
         )
+
+        if w.dtype == jnp.int8:
+            # native int8 MXU path (2x bf16 TOPS on v5e): weights were
+            # pre-quantized per-output-channel by
+            # export.quantize.quantize_variables_for_int8_conv; activations
+            # quantize dynamically per tensor.
+            w_scale = self.param("w_scale", fnn.initializers.ones,
+                                 (self.features,), jnp.float32)
+            xf = x.astype(jnp.float32)
+            amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
+            sx = amax / 127.0
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            y32 = lax.conv_general_dilated(
+                xq, w, preferred_element_type=jnp.int32, **conv_kw)
+            y = y32.astype(jnp.float32) * (sx * w_scale)
+            y = y.astype(dtype)
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(dtype), w.astype(dtype),
+                precision=self.precision, **conv_kw)
         if self.use_bias:
             b = self.param("b", fnn.initializers.zeros, (self.features,),
                            self.param_dtype)

@@ -78,3 +78,52 @@ def test_stablehlo_roundtrip(tmp_path):
     out = out[0] if isinstance(out, (tuple, list)) else out
     out = np.asarray(out).reshape(1, 8, 8, 2)
     np.testing.assert_allclose(out, np.asarray(fwd(x)), atol=1e-6)
+
+
+def test_int8_conv_path_close_to_float():
+    """Native int8 MXU conv path: quantized variables produce outputs close
+    to the float model (dynamic per-tensor activation + per-channel weight
+    quantization)."""
+    from autoware_vision_pilot_tpu.nn.layers import Conv2d
+    from autoware_vision_pilot_tpu.export.quantize import (
+        quantize_variables_for_int8_conv)
+    import flax.linen as fnn2
+
+    class Net(fnn2.Module):
+        @fnn2.compact
+        def __call__(self, x, train=False):
+            h = Conv2d(64, 3, 1, 1, name="c1")(x)
+            h = fnn2.relu(h)
+            return Conv2d(32, 3, 1, 1, name="c2")(h)
+
+    m = Net()
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 16, 32, 48)).astype(np.float32))
+    v = m.init(jax.random.key(0), x)
+    ref = np.asarray(m.apply(v, x))
+    qv = quantize_variables_for_int8_conv(v)
+    # kernels actually became int8
+    assert qv["params"]["c1"]["w"].dtype == jnp.int8
+    assert "w_scale" in qv["params"]["c1"]
+    out = np.asarray(m.apply(qv, x))
+    rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert rel < 0.05, rel
+
+
+def test_int8_conv_skips_small_and_transposed():
+    from autoware_vision_pilot_tpu.nn.layers import Conv2d, ConvTranspose2d
+    from autoware_vision_pilot_tpu.export.quantize import (
+        quantize_variables_for_int8_conv)
+    import flax.linen as fnn2
+
+    class Net(fnn2.Module):
+        @fnn2.compact
+        def __call__(self, x):
+            h = Conv2d(8, 3, 1, 1, name="small")(x)   # cin=3 < 32: stays f32
+            return ConvTranspose2d(4, 2, 2, name="up")(h)
+
+    m = Net()
+    v = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    qv = quantize_variables_for_int8_conv(v)
+    assert qv["params"]["small"]["w"].dtype != jnp.int8
+    assert qv["params"]["up"]["wt"].dtype != jnp.int8
