@@ -131,3 +131,55 @@ def quantize_variables_for_int8_conv(variables, min_channels: int = 32):
     for col, tree in variables.items():
         result[col] = walk(tree) if col == "params" else tree
     return result
+
+
+def calibrate_int8_activation_scales(model, q_variables, sample_batches,
+                                     percentile_headroom: float = 1.0):
+    """PTQ activation calibration for the static int8 conv path.
+
+    Runs the (weight-quantized) model over calibration batches collecting
+    each int8 conv's dynamic activation amax (sown as
+    intermediates/.../act_amax), then writes static per-conv 'x_scale'
+    params = running_max(amax)/127. With static scales the quantize step
+    fuses into the producing op's epilogue — no extra reduction pass.
+
+    sample_batches: iterable of model inputs (already preprocessed).
+    Returns a new variables tree with x_scale leaves inserted.
+    """
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    running = {}
+
+    def record(path, leaf):
+        key = tuple(path)
+        v = float(_jnp.max(_jnp.asarray(leaf)))
+        running[key] = max(running.get(key, 0.0), v)
+
+    for x in sample_batches:
+        _, inter = model.apply(q_variables, x, mutable=["intermediates"])
+
+        def walk(node, path):
+            for k, v in node.items():
+                if k == "act_amax":
+                    for leaf in (v if isinstance(v, (tuple, list)) else [v]):
+                        record(path, leaf)
+                elif isinstance(v, dict):
+                    walk(v, path + [k])
+
+        walk(inter["intermediates"], [])
+
+    params = _jax.tree.map(lambda x: x, q_variables["params"])
+    params = {k: v for k, v in params.items()}
+
+    def insert(node, path, scale):
+        for p in path:
+            node = node[p]
+        node["x_scale"] = _jnp.asarray(scale, _jnp.float32)
+
+    for path, amax in running.items():
+        insert(params, list(path), amax * percentile_headroom / 127.0)
+
+    out = dict(q_variables)
+    out["params"] = params
+    return out

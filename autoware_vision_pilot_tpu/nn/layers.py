@@ -77,13 +77,20 @@ class Conv2d(fnn.Module):
         if w.dtype == jnp.int8:
             # native int8 MXU path (2x bf16 TOPS on v5e): weights were
             # pre-quantized per-output-channel by
-            # export.quantize.quantize_variables_for_int8_conv; activations
-            # quantize dynamically per tensor.
+            # export.quantize.quantize_variables_for_int8_conv. Activation
+            # scale: static (calibrated 'x_scale' param — quantize fuses
+            # into the producer's epilogue) when present, else dynamic
+            # per-tensor (costs an extra reduction pass).
             w_scale = self.param("w_scale", fnn.initializers.ones,
                                  (self.features,), jnp.float32)
             xf = x.astype(jnp.float32)
-            amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
-            sx = amax / 127.0
+            if self.has_variable("params", "x_scale"):
+                sx = self.param("x_scale", fnn.initializers.ones,
+                                (), jnp.float32)
+            else:
+                amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
+                self.sow("intermediates", "act_amax", amax)
+                sx = amax / 127.0
             xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
             y32 = lax.conv_general_dilated(
                 xq, w, preferred_element_type=jnp.int32, **conv_kw)

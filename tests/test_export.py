@@ -127,3 +127,32 @@ def test_int8_conv_skips_small_and_transposed():
     qv = quantize_variables_for_int8_conv(v)
     assert qv["params"]["small"]["w"].dtype != jnp.int8
     assert qv["params"]["up"]["wt"].dtype != jnp.int8
+
+
+def test_int8_static_calibration():
+    from autoware_vision_pilot_tpu.nn.layers import Conv2d
+    from autoware_vision_pilot_tpu.export.quantize import (
+        quantize_variables_for_int8_conv, calibrate_int8_activation_scales)
+    import flax.linen as fnn2
+
+    class Net(fnn2.Module):
+        @fnn2.compact
+        def __call__(self, x, train=False):
+            h = Conv2d(64, 3, 1, 1, name="c1")(x)
+            h = fnn2.relu(h)
+            return Conv2d(32, 3, 1, 1, name="c2")(h)
+
+    m = Net()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 16, 32, 48)).astype(np.float32))
+    v = m.init(jax.random.key(0), x)
+    ref = np.asarray(m.apply(v, x))
+    qv = quantize_variables_for_int8_conv(v)
+    sv = calibrate_int8_activation_scales(m, qv, [x])
+    assert "x_scale" in sv["params"]["c1"]
+    out = np.asarray(m.apply(sv, x))
+    rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert rel < 0.06, rel
+    # out-of-calibration input still works (clipping handles overflow)
+    out2 = m.apply(sv, x * 2)
+    assert np.isfinite(np.asarray(out2)).all()
