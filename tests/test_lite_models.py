@@ -50,3 +50,19 @@ def test_unetplusplus_shapes():
     x = jnp.zeros((1, 64, 128, 3))
     out, _ = m.init_with_output(jax.random.key(0), x)
     assert out.shape == (1, 64, 128, 3)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.slow
+def test_autospeed_variants_construct():
+    """'n'/'s'/'m' width/depth/csp variants build and run
+    (auto_speed_network.py:60-66 dynamic_weighting)."""
+    from autoware_vision_pilot_tpu.models.auto_speed import AutoSpeedNetwork
+    x = jnp.zeros((1, 128, 256, 3))
+    for variant in ("n", "s", "m"):
+        m = AutoSpeedNetwork(variant=variant, num_classes=4,
+                             img_h=128, img_w=256)
+        out, _ = m.init_with_output(jax.random.key(0), x)
+        assert out.shape[0] == 1 and out.shape[2] == 8  # (B, A, 4+nc)
