@@ -130,3 +130,30 @@ def test_ground_reprojection_roundtrip():
     np.testing.assert_allclose(back[0], [2.0, 10.0], atol=1e-9)
     bev = ground_to_bev_pixels(back)
     np.testing.assert_allclose(bev[0], [320 + 2 * 16, 640 - 160], atol=1e-6)
+
+
+def test_curvelanes_parse():
+    from autoware_vision_pilot_tpu.data_parsing.curvelanes import (
+        parse_curvelanes_label)
+    rec = {"Lines": [
+        [{"x": "100.0", "y": "500.0"}, {"x": "120.5", "y": "300.0"}],
+        [{"x": "800", "y": "500"}],
+    ]}
+    import json
+    lanes = parse_curvelanes_label(json.dumps(rec))
+    assert len(lanes) == 1  # single-point line dropped
+    # sorted by y
+    assert lanes[0][0, 1] <= lanes[0][1, 1]
+
+
+def test_roadwork_polygons():
+    from autoware_vision_pilot_tpu.data_parsing.roadwork import (
+        parse_roadwork_annotation, polygons_to_binary_mask)
+    import json
+    rec = {"annotations": [
+        {"segmentation": [[10, 10, 50, 10, 50, 40, 10, 40]]},
+    ]}
+    polys = parse_roadwork_annotation(json.dumps(rec))
+    assert len(polys) == 1
+    m = polygons_to_binary_mask(polys, (64, 64))
+    assert m[20, 30] == 1.0 and m[5, 5] == 0.0
