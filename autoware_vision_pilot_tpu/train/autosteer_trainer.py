@@ -96,6 +96,39 @@ class AutoSteerTrainer:
             x, jnp.asarray(target_xp), jnp.asarray(target_h), k)
         return float(loss)
 
+    def validate(self, val_batches, detect_thresh: float = 0.5):
+        """Lane-vector metrics over (images, t_xp, t_h) batches (the
+        auto_steer_trainer.py val role): mean |xp error| on rows where the
+        lane exists, and height-validity precision/recall."""
+        eval_vars = {"params": self.ema_params,
+                     "batch_stats": self.batch_stats}
+
+        @jax.jit
+        def fwd(x):
+            return self.model.apply(eval_vars, x)
+
+        abs_err_sum = n_rows = 0.0
+        tp = fp = fn = 0.0
+        for images, t_xp, t_h in val_batches:
+            x = jnp.asarray(images, jnp.float32) / 255.0
+            lane, height = fwd(x)
+            lane = np.asarray(lane, np.float32)
+            prob = 1.0 / (1.0 + np.exp(-np.asarray(height, np.float32)))
+            t_xp = np.asarray(t_xp, np.float32)
+            t_h = np.asarray(t_h, np.float32)
+            valid = t_h > 0.5
+            abs_err_sum += np.abs(lane[valid] - t_xp[valid]).sum()
+            n_rows += valid.sum()
+            pred = prob > detect_thresh
+            tp += (pred & valid).sum()
+            fp += (pred & ~valid).sum()
+            fn += (~pred & valid).sum()
+        mae = abs_err_sum / max(n_rows, 1)
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn, 1)
+        return {"xp_mae": float(mae), "h_precision": float(precision),
+                "h_recall": float(recall)}
+
     def save(self, name: str = "last"):
         import pathlib
         p = pathlib.Path(self.cfg.ckpt_dir)
