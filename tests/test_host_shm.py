@@ -119,3 +119,16 @@ def test_frame_ring_roundtrip():
                 np.testing.assert_array_equal(frame, f)
             # nothing newer
             assert cons.read_latest(last_seen=5) is None
+
+
+def test_tsan_stress_binary():
+    """Concurrency stress (seqlock + frame ring, multi-threaded) — the
+    TSan-instrumented variant runs in CI; here the regular build verifies
+    no torn reads under load."""
+    tool = LIB.parent / "tsan_stress"
+    if not tool.exists():
+        pytest.skip("tsan_stress not built")
+    out = subprocess.run([str(tool)], capture_output=True, text=True,
+                         timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
