@@ -120,7 +120,12 @@ class LiteTrainer:
 
         micro = int(cfg.get("training", {}).get("grad_accum_steps", 1))
 
-        def loss_fn(logits, targets):
+        # loss type selects the task family (the scene_seg_lite /
+        # scene3d_lite / ego_lanes_lite trainer subclasses of the
+        # reference collapse into one config switch here)
+        loss_type = loss_cfg.get("type", "cross_entropy")
+
+        def ce_loss(logits, targets):
             ce_tgt = targets
             if self.ignore_index is not None:
                 valid = targets != self.ignore_index
@@ -131,6 +136,24 @@ class LiteTrainer:
                 return segmentation_ce_loss(logits, onehot,
                                             self.class_weights)
             return segmentation_ce_loss(logits, ce_tgt, self.class_weights)
+
+        if loss_type == "depth_ssi":
+            from .losses import ssi_mae_depth_loss
+            edge_scale = float(loss_cfg.get("edge_scale", 1.0))
+
+            def loss_fn(logits, targets):
+                t = targets[..., None] if targets.ndim == 3 else targets
+                total, _, _ = ssi_mae_depth_loss(logits, t, edge_scale)
+                return total
+        elif loss_type == "lanes_bce":
+            from .losses import lanes_bce_edge_loss
+
+            def loss_fn(logits, targets):
+                total, _, _ = lanes_bce_edge_loss(logits, targets)
+                return total
+        else:
+            loss_fn = ce_loss
+        self.loss_type = loss_type
 
         self.run_step, _ = make_seg_train_step(
             model, self.tx, loss_fn, mesh=self.mesh, microbatches=micro)
@@ -224,6 +247,9 @@ class LiteTrainer:
 
     def validate(self, step: int):
         if self.val_iter is None:
+            return None
+        if self.loss_type != "cross_entropy":
+            # dense-regression tasks validate on loss, not mIoU
             return None
         cm_total = None
         for images, labels in self.val_iter():

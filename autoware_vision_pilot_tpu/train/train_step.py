@@ -126,9 +126,14 @@ def make_seg_train_step(model, tx, loss_fn: Callable,
     )
 
     def run(state, images, targets, rng):
-        images = jax.device_put(images, data_sharding(mesh, images.ndim))
-        targets = jax.device_put(targets, data_sharding(mesh, targets.ndim))
-        state = jax.device_put(state, rep)
+        # shard the batch only when it divides the mesh (small debug
+        # batches replicate instead of erroring)
+        if images.shape[0] % mesh.devices.size == 0:
+            images = jax.device_put(images,
+                                    data_sharding(mesh, images.ndim))
+            targets = jax.device_put(targets,
+                                     data_sharding(mesh, targets.ndim))
+            state = jax.device_put(state, rep)
         return jit_step(state, images, targets, rng)
 
     return run, jit_step

@@ -227,3 +227,42 @@ def test_multichip_batch_inference():
                                atol=1e-6)
     # output actually sharded over devices
     assert len(out.sharding.device_set) == mesh.devices.size
+
+
+def test_lite_trainer_loss_types():
+    """Lite loss-type switch (scene3d_lite / ego_lanes_lite analogs)."""
+    import flax.linen as fnn
+    from autoware_vision_pilot_tpu.train.lite_trainer import LiteTrainer
+
+    class Dense1(fnn.Module):
+        out: int = 1
+
+        @fnn.compact
+        def __call__(self, x, train=False):
+            return fnn.Conv(self.out, (3, 3), padding=1)(x)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 16, 24, 3), dtype=np.uint8)
+
+    def it_depth():
+        while True:
+            yield imgs, rng.uniform(0, 1, (4, 16, 24)).astype(np.float32)
+
+    def it_lanes():
+        while True:
+            yield imgs, rng.integers(0, 2, (4, 16, 24, 3)).astype(np.float32)
+
+    base = {"experiment": {"wandb": {"enabled": False}},
+            "training": {"max_steps": 2, "save_last": False,
+                         "logging": {"log_every_steps": 10**9}},
+            "optimizer": {"lr": 1e-3}, "scheduler": {"type": "none"}}
+    for loss_type, model, it in [
+            ("depth_ssi", Dense1(1), it_depth),
+            ("lanes_bce", Dense1(3), it_lanes)]:
+        cfg = dict(base)
+        cfg["loss"] = {"type": loss_type}
+        cfg["experiment"] = {"output_dir": f"/tmp/lite_{loss_type}",
+                             "wandb": {"enabled": False}}
+        tr = LiteTrainer(model, cfg, it, input_hw=(16, 24))
+        tr.fit(max_steps=2)
+        assert tr.validate(1) is None  # dense tasks skip mIoU
