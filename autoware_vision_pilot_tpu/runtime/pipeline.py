@@ -276,14 +276,73 @@ class PipelineEngine:
         if self.longitudinal is not None:
             jax.block_until_ready(self.longitudinal(dummy)[0])
 
+    def _harvest(self, frame_num, frame, lat_out, lon_out):
+        """Fetch device results and run the host-side longitudinal state
+        machines for one frame (host work for frame N-1 overlaps frame N's
+        device compute in run())."""
+        res = FrameResult(frame_num=frame_num)
+        tracking = None
+        if lon_out is not None:
+            boxes, scores, cls, valid = lon_out
+            bv = np.asarray(boxes)
+            sv = np.asarray(scores)
+            cv = np.asarray(cls)
+            vv = np.asarray(valid)
+            dets = [(*bv[i], sv[i], cv[i]) for i in range(len(vv))
+                    if vv[i]]
+            if self.object_finder is not None:
+                tracking = self.object_finder.update_and_get_cipo(
+                    dets, frame)
+                sp = self.speed_planner
+                sp.set_ego_speed(
+                    self.cfg.longitudinal.ego_speed_default_ms)
+                sp.set_is_cipo_present(tracking.cipo.exists)
+                if tracking.cipo.exists:
+                    sp.set_cipo_state(tracking.cipo.velocity_ms,
+                                      tracking.cipo.distance_m)
+                set_speed = sp.calc_ideal_driving_speed()
+                if tracking.cut_in_detected or tracking.kalman_reset:
+                    self.pid.reset()
+                effort = self.pid.compute_effort(sp.ego_speed, set_speed)
+                res.set_speed = set_speed
+                res.accel_effort = effort
+                res.fcw = sp.get_fcw_state()
+                res.aeb = sp.get_aeb_state()
+                res.cut_in = tracking.cut_in_detected
+                res.kalman_reset = tracking.kalman_reset
+                res.n_tracks = len(tracking.tracked_objects)
+                if tracking.cipo.exists:
+                    res.cipo_distance = tracking.cipo.distance_m
+                    res.cipo_velocity = tracking.cipo.velocity_ms
+
+        res.steering_deg = float(lat_out["steering_filtered"])
+        res.cte = float(lat_out["cte"])
+        res.yaw_error = float(lat_out["yaw_error"])
+        # lane departure: drift beyond 50% of the lane half-width
+        # (main.cpp unified-display warning contract)
+        lane_w = abs(float(lat_out["lane_width"]))
+        res.lane_departure = bool(
+            lat_out["fused_valid"]) and lane_w > 0.1 and \
+            abs(res.cte) > 0.5 * (lane_w / 2.0)
+
+        if self.sink is not None:
+            self.sink(res, lat_out, tracking)
+        return res
+
     def run(self, max_frames: Optional[int] = None, warmup: bool = False):
-        """Synchronous dual-pipeline loop (threaded capture, paced)."""
+        """Dual-pipeline loop with one-frame software pipelining: frame N's
+        device programs are dispatched (async) before frame N-1's results
+        are fetched, hiding device latency behind host work — the same
+        decoupling the reference gets from its capture/display threads
+        (main.cpp DoubleFrameBuffer + result queues). Results stream with a
+        one-frame delay."""
         if warmup:
             self.warmup()
         target_dt = 1.0 / self.cfg.target_fps if self.cfg.target_fps else 0.0
         lat_state = self.lateral.init_state()
         frame_num = 0
         results = []
+        pending = None  # (frame_num, frame, lat_out, lon_out)
         while not self._stop.is_set():
             if max_frames is not None and frame_num >= max_frames:
                 break
@@ -294,58 +353,16 @@ class PipelineEngine:
             dev_frame = jnp.asarray(frame)
             t_cap = time.perf_counter()
 
+            # dispatch frame N (async — returns device futures)
             lat_out, lat_state = self.lateral(dev_frame, lat_state)
-
-            res = FrameResult(frame_num=frame_num)
-            tracking = None
-            if self.longitudinal is not None:
-                boxes, scores, cls, valid = self.longitudinal(dev_frame)
-                bv = np.asarray(boxes)
-                sv = np.asarray(scores)
-                cv = np.asarray(cls)
-                vv = np.asarray(valid)
-                dets = [(*bv[i], sv[i], cv[i]) for i in range(len(vv))
-                        if vv[i]]
-                if self.object_finder is not None:
-                    tracking = self.object_finder.update_and_get_cipo(
-                        dets, frame)
-                    sp = self.speed_planner
-                    sp.set_ego_speed(
-                        self.cfg.longitudinal.ego_speed_default_ms)
-                    sp.set_is_cipo_present(tracking.cipo.exists)
-                    if tracking.cipo.exists:
-                        sp.set_cipo_state(tracking.cipo.velocity_ms,
-                                          tracking.cipo.distance_m)
-                    set_speed = sp.calc_ideal_driving_speed()
-                    if tracking.cut_in_detected or tracking.kalman_reset:
-                        self.pid.reset()
-                    effort = self.pid.compute_effort(
-                        sp.ego_speed, set_speed)
-                    res.set_speed = set_speed
-                    res.accel_effort = effort
-                    res.fcw = sp.get_fcw_state()
-                    res.aeb = sp.get_aeb_state()
-                    res.cut_in = tracking.cut_in_detected
-                    res.kalman_reset = tracking.kalman_reset
-                    res.n_tracks = len(tracking.tracked_objects)
-                    if tracking.cipo.exists:
-                        res.cipo_distance = tracking.cipo.distance_m
-                        res.cipo_velocity = tracking.cipo.velocity_ms
-
-            res.steering_deg = float(lat_out["steering_filtered"])
-            res.cte = float(lat_out["cte"])
-            res.yaw_error = float(lat_out["yaw_error"])
-            # lane departure: drift beyond 50% of the lane half-width
-            # (main.cpp unified-display warning contract)
-            lane_w = abs(float(lat_out["lane_width"]))
-            res.lane_departure = bool(
-                lat_out["fused_valid"]) and lane_w > 0.1 and \
-                abs(res.cte) > 0.5 * (lane_w / 2.0)
+            lon_out = (self.longitudinal(dev_frame)
+                       if self.longitudinal is not None else None)
             t_inf = time.perf_counter()
 
-            if self.sink is not None:
-                self.sink(res, lat_out, tracking)
-            results.append(res)
+            # harvest frame N-1 while N executes
+            if pending is not None:
+                results.append(self._harvest(*pending))
+            pending = (frame_num, frame, lat_out, lon_out)
             frame_num += 1
             t_end = time.perf_counter()
             self.metrics.add_frame(capture_s=t_cap - t0,
@@ -356,6 +373,8 @@ class PipelineEngine:
                 sleep = target_dt - (time.perf_counter() - t0)
                 if sleep > 0:
                     time.sleep(sleep)
+        if pending is not None:
+            results.append(self._harvest(*pending))
         return results
 
     def stop(self):
