@@ -106,6 +106,12 @@ class LateralState(NamedTuple):
     key: jnp.ndarray
 
 
+# layout of the packed lateral scalar vector (fetched in one round-trip)
+SCALAR_FIELDS = ("steering_filtered", "steering_raw", "autosteer_deg",
+                 "cte", "yaw_error", "lane_width", "fused_valid",
+                 "path_valid")
+
+
 class LateralPipeline:
     """Fused lateral step: one device program per frame."""
 
@@ -161,19 +167,20 @@ class LateralPipeline:
 
             new_state = LateralState(lane_logits32, lf_state, lt_state,
                                      bayes, steer_state, k3)
+            # scalar results packed into ONE vector so the host fetches
+            # them in a single device round-trip (layout in SCALAR_FIELDS)
+            scalars = jnp.stack([
+                filtered, raw_angle, autosteer_deg,
+                pf_out.cte, pf_out.yaw_error, pf_out.lane_width,
+                pf_out.fused_valid.astype(jnp.float32),
+                trk.path_valid.astype(jnp.float32),
+            ]).astype(jnp.float32)
+            coeffs = jnp.stack([trk.left_coeffs, trk.right_coeffs,
+                                trk.center_coeffs]).astype(jnp.float32)
             outputs = {
-                "steering_filtered": filtered,
-                "steering_raw": raw_angle,
-                "autosteer_deg": autosteer_deg,
-                "cte": pf_out.cte,
-                "yaw_error": pf_out.yaw_error,
-                "lane_width": pf_out.lane_width,
-                "fused_valid": pf_out.fused_valid,
-                "lane_masks": masks,
-                "left_coeffs": trk.left_coeffs,
-                "right_coeffs": trk.right_coeffs,
-                "center_coeffs": trk.center_coeffs,
-                "path_valid": trk.path_valid,
+                "scalars": scalars,
+                "coeffs": coeffs,       # (3, 6) left/right/center
+                "lane_masks": masks,    # viz only — not fetched per frame
             }
             return outputs, new_state
 
@@ -211,8 +218,12 @@ class LongitudinalPipeline:
             pred = net.apply(autospeed_vars, x)[0].astype(jnp.float32)
             boxes, scores, cls = decode_yolo_to_original(
                 pred, scale, pad, frame_hw)
-            return nms_fixed(boxes, scores, cls, max_det=max_det,
-                             iou_thresh=iou_t, conf_thresh=conf_t)
+            b, s, c, v = nms_fixed(boxes, scores, cls, max_det=max_det,
+                                   iou_thresh=iou_t, conf_thresh=conf_t)
+            # pack into ONE (max_det, 7) array: single host fetch
+            return jnp.concatenate(
+                [b, s[:, None], c[:, None].astype(jnp.float32),
+                 v[:, None].astype(jnp.float32)], axis=1)
 
         self._step = jax.jit(step)
 
@@ -272,24 +283,22 @@ class PipelineEngine:
         dummy = jnp.zeros((*frame_hw, 3), jnp.uint8)
         state = self.lateral.init_state(seed=999)
         out, _ = self.lateral(dummy, state)
-        jax.block_until_ready(out["steering_filtered"])
+        jax.block_until_ready(out["scalars"])
         if self.longitudinal is not None:
-            jax.block_until_ready(self.longitudinal(dummy)[0])
+            jax.block_until_ready(self.longitudinal(dummy))
 
     def _harvest(self, frame_num, frame, lat_out, lon_out):
         """Fetch device results and run the host-side longitudinal state
         machines for one frame (host work for frame N-1 overlaps frame N's
-        device compute in run())."""
+        device compute in run()). Exactly two device fetches per frame:
+        the packed lateral scalar vector and the packed detection table."""
         res = FrameResult(frame_num=frame_num)
         tracking = None
         if lon_out is not None:
-            boxes, scores, cls, valid = lon_out
-            bv = np.asarray(boxes)
-            sv = np.asarray(scores)
-            cv = np.asarray(cls)
-            vv = np.asarray(valid)
-            dets = [(*bv[i], sv[i], cv[i]) for i in range(len(vv))
-                    if vv[i]]
+            table = np.asarray(lon_out)       # (max_det, 7) — one fetch
+            vv = table[:, 6] > 0.5
+            dets = [(*table[i, :4], table[i, 4], int(table[i, 5]))
+                    for i in range(len(vv)) if vv[i]]
             if self.object_finder is not None:
                 tracking = self.object_finder.update_and_get_cipo(
                     dets, frame)
@@ -315,14 +324,15 @@ class PipelineEngine:
                     res.cipo_distance = tracking.cipo.distance_m
                     res.cipo_velocity = tracking.cipo.velocity_ms
 
-        res.steering_deg = float(lat_out["steering_filtered"])
-        res.cte = float(lat_out["cte"])
-        res.yaw_error = float(lat_out["yaw_error"])
+        sc = np.asarray(lat_out["scalars"])   # (8,) — one fetch
+        s = dict(zip(SCALAR_FIELDS, sc))
+        res.steering_deg = float(s["steering_filtered"])
+        res.cte = float(s["cte"])
+        res.yaw_error = float(s["yaw_error"])
         # lane departure: drift beyond 50% of the lane half-width
         # (main.cpp unified-display warning contract)
-        lane_w = abs(float(lat_out["lane_width"]))
-        res.lane_departure = bool(
-            lat_out["fused_valid"]) and lane_w > 0.1 and \
+        lane_w = abs(float(s["lane_width"]))
+        res.lane_departure = s["fused_valid"] > 0.5 and lane_w > 0.1 and \
             abs(res.cte) > 0.5 * (lane_w / 2.0)
 
         if self.sink is not None:
