@@ -66,10 +66,30 @@ def steering_init():
 
 
 def steering_step(state: SteeringState, cte, yaw_error, feed_forward,
-                  K_p, K_i, K_d, K_S):
+                  K_p, K_i, K_d, K_S, fused_valid=None, bev_valid=None):
+    """One control tick, matching the reference frame loop exactly
+    (main.cpp:511-589): per-frame raw/filtered start at 0; computeSteering
+    runs (and prev_yaw_error advances) only when bev_visuals.valid AND
+    path_output.fused_valid; the moving-average filter ring is only pushed
+    when bev_visuals.valid (raw=0 enters the ring on fused-invalid frames).
+
+    Units follow the reference call site (main.cpp:581-585): `yaw_error`
+    must be DEGREES (the caller converts rad*180/pi), `cte` meters,
+    `feed_forward` the fused curvature channel as-is.
+    """
+    if fused_valid is None:
+        fused_valid = jnp.bool_(True)
+    if bev_valid is None:
+        bev_valid = jnp.bool_(True)
+    compute = jnp.logical_and(fused_valid, bev_valid)
     angle = (K_d * (yaw_error - state.prev_yaw_error)
              + jnp.arctan(K_i * cte) + K_p * yaw_error + feed_forward * K_S)
-    ring = jnp.roll(state.ring, 1).at[0].set(angle)
-    n = jnp.minimum(state.ring_len + 1, 10)
-    filtered = jnp.sum(ring * (jnp.arange(10) < n)) / n
-    return filtered, angle, SteeringState(yaw_error, ring, n)
+    angle = jnp.where(compute, angle, 0.0)
+    prev_yaw = jnp.where(compute, yaw_error, state.prev_yaw_error)
+    ring = jnp.where(bev_valid, jnp.roll(state.ring, 1).at[0].set(angle),
+                     state.ring)
+    n = jnp.where(bev_valid, jnp.minimum(state.ring_len + 1, 10),
+                  state.ring_len)
+    mean = jnp.sum(ring * (jnp.arange(10) < n)) / jnp.maximum(n, 1)
+    filtered = jnp.where(bev_valid, mean, 0.0)
+    return filtered, angle, SteeringState(prev_yaw, ring, n)

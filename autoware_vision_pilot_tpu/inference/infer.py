@@ -156,7 +156,12 @@ class AutoSpeedInfer:
 
 
 class AutoSteerInfer:
-    """Temporal steering classifier over two EgoLanes mask frames."""
+    """Temporal steering classifier over two RAW EgoLanes logit tensors.
+
+    The reference feeds the raw pre-threshold EgoLanes output tensors of
+    frames t-1 and t (main.cpp:516-524 copies `getRawTensorData()`, NOT the
+    thresholded masks) — pass logits here, never binarized masks.
+    """
 
     def __init__(self, variables=None, checkpoint: str = "",
                  dtype=jnp.float32):
@@ -176,10 +181,11 @@ class AutoSteerInfer:
 
         self._fwd = jax.jit(fwd)
 
-    def inference(self, prev_masks: np.ndarray,
-                  curr_masks: np.ndarray) -> float:
-        """masks: (80, 160, 3) each -> steering angle in degrees."""
+    def inference(self, prev_logits: np.ndarray,
+                  curr_logits: np.ndarray) -> float:
+        """logits: (80, 160, 3) raw EgoLanes tensors (pre-threshold),
+        frames t-1 and t -> steering angle in degrees."""
         stacked = jnp.asarray(
-            np.concatenate([prev_masks, curr_masks], axis=-1),
+            np.concatenate([prev_logits, curr_logits], axis=-1),
             jnp.float32)
         return float(self._fwd(stacked))

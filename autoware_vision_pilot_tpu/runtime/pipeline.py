@@ -161,9 +161,17 @@ class LateralPipeline:
                 state.bayes, left_m, trk.bev_left_mask,
                 right_m, trk.bev_right_mask, autosteer_rad, k2)
 
+            # reference call site (main.cpp:580-589): steering computed
+            # only on fused_valid frames, yaw_error in DEGREES (*180/pi),
+            # feed-forward = fused curvature channel (the Bayes-fused
+            # AutoSteer angle) passed through unchanged; the moving-average
+            # ring advances only on bev-valid frames.
             filtered, raw_angle, steer_state = steering_step(
-                state.steering, pf_out.cte, pf_out.yaw_error,
-                pf_out.curvature, *K)
+                state.steering, pf_out.cte,
+                pf_out.yaw_error * (180.0 / jnp.pi),
+                pf_out.curvature, *K,
+                fused_valid=pf_out.fused_valid,
+                bev_valid=trk.path_valid)
 
             new_state = LateralState(lane_logits32, lf_state, lt_state,
                                      bayes, steer_state, k3)

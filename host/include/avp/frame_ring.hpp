@@ -14,7 +14,10 @@
 namespace avp::host {
 
 struct FrameHeader {
-    volatile uint64_t seq;   // odd = write in progress
+    // Accessed only through std::atomic_ref (frame_ring.cpp) so the POD
+    // shared-memory ABI is preserved while loads/stores get formal
+    // acquire/release semantics. odd = write in progress.
+    uint64_t seq;
     uint64_t frame_number;
     uint32_t height;
     uint32_t width;
@@ -25,7 +28,7 @@ struct FrameHeader {
 struct RingHeader {
     uint32_t n_slots;
     uint32_t slot_bytes;     // payload capacity per slot
-    volatile uint64_t latest;  // last published frame_number
+    uint64_t latest;  // last published frame_number (atomic_ref access)
 };
 
 class FrameRing {

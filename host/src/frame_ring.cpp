@@ -96,8 +96,14 @@ bool FrameRing::publish(const uint8_t* data, uint32_t height,
 
     const uint32_t slot = frame_number % rh->n_slots;
     FrameHeader* h = slot_header(slot);
-    const uint64_t s0 = h->seq;
-    h->seq = s0 + 1;  // odd
+    // Fence-based seqlock writer (Boehm, "Can seqlocks get along with
+    // programming language memory models?"): odd store, release fence,
+    // payload, release store of the even seq. `latest` is published with
+    // release ordering only AFTER the slot is consistent, so a reader
+    // that acquires `latest` always finds an initialized header.
+    std::atomic_ref<uint64_t> seq(h->seq);
+    const uint64_t s0 = seq.load(std::memory_order_relaxed);
+    seq.store(s0 + 1, std::memory_order_relaxed);  // odd
     std::atomic_thread_fence(std::memory_order_release);
     std::memcpy(slot_ptr(slot), data, bytes);
     h->frame_number = frame_number;
@@ -105,9 +111,9 @@ bool FrameRing::publish(const uint8_t* data, uint32_t height,
     h->width = width;
     h->channels = channels;
     h->timestamp_ns = timestamp_ns;
-    std::atomic_thread_fence(std::memory_order_release);
-    h->seq = s0 + 2;  // even
-    rh->latest = frame_number;
+    seq.store(s0 + 2, std::memory_order_release);  // even
+    std::atomic_ref<uint64_t>(rh->latest)
+        .store(frame_number, std::memory_order_release);
     return true;
 }
 
@@ -115,22 +121,31 @@ bool FrameRing::read_latest(uint8_t* out, uint32_t out_capacity,
                             FrameHeader* header, uint64_t last_seen) {
     if (base_ == nullptr) return false;
     auto* rh = reinterpret_cast<RingHeader*>(base_);
-    const uint64_t latest = rh->latest;
+    // A consumer can attach before the owner finishes initializing the
+    // header — n_slots==0 would make the modulo below divide by zero.
+    if (rh->n_slots == 0) return false;
+    const uint64_t latest = std::atomic_ref<uint64_t>(rh->latest)
+                                .load(std::memory_order_acquire);
     if (latest == 0 || latest <= last_seen) return false;
     const uint32_t slot = latest % rh->n_slots;
     FrameHeader* h = slot_header(slot);
+    std::atomic_ref<uint64_t> seq(h->seq);
 
     for (int attempt = 0; attempt < 64; ++attempt) {
-        const uint64_t s1 = h->seq;
+        const uint64_t s1 = seq.load(std::memory_order_acquire);
         if (s1 & 1ULL) continue;
-        std::atomic_thread_fence(std::memory_order_acquire);
-        FrameHeader snap = *const_cast<const FrameHeader*>(h);
+        FrameHeader snap;
+        snap.frame_number = h->frame_number;
+        snap.height = h->height;
+        snap.width = h->width;
+        snap.channels = h->channels;
+        snap.timestamp_ns = h->timestamp_ns;
         const size_t bytes =
             static_cast<size_t>(snap.height) * snap.width * snap.channels;
         if (bytes > out_capacity) return false;
         std::memcpy(out, slot_ptr(slot), bytes);
         std::atomic_thread_fence(std::memory_order_acquire);
-        if (h->seq == s1) {
+        if (seq.load(std::memory_order_relaxed) == s1) {
             *header = snap;
             header->seq = s1;
             return true;

@@ -221,3 +221,61 @@ def test_pi_controller():
     assert abs(e1 - (1.0 * 2.0 + 0.1 * 2.0)) < 1e-12
     c.reset()
     assert c.integral_error == 0.0
+
+
+def test_steering_step_reference_call_site_parity():
+    """Pin the jittable steering_step to the reference frame loop at the
+    example conf gains (VisionPilot.conf.example:55-58, main.cpp:511-589):
+    yaw_error arrives in DEGREES (main.cpp:583 converts rad*180/pi),
+    computeSteering runs + prev_yaw advances only on fused_valid frames,
+    the 10-deep moving-average ring is pushed only on bev-valid frames
+    (raw=0 enters it when fused is invalid), and on bev-invalid frames
+    both raw and filtered stay at their per-frame 0 initialization."""
+    import math
+    from collections import deque
+    import jax.numpy as jnp
+    from autoware_vision_pilot_tpu.control.steering import (
+        steering_init, steering_step)
+
+    Kp, Ki, Kd, Ks = 0.33, 0.01, -0.40, -0.3
+
+    # host-side oracle of main.cpp:511-589 + steering_controller.cpp:28-41
+    def oracle(frames):
+        prev_yaw = 0.0
+        ring = deque(maxlen=10)
+        out = []
+        for cte, yaw_rad, curv, fused_valid, bev_valid in frames:
+            raw = 0.0
+            filt = 0.0
+            if bev_valid:
+                if fused_valid:
+                    yaw_deg = yaw_rad * 180.0 / math.pi
+                    raw = (Kd * (yaw_deg - prev_yaw)
+                           + math.atan(Ki * cte)
+                           + Kp * yaw_deg + curv * Ks)
+                    prev_yaw = yaw_deg
+                ring.append(raw)
+                filt = sum(ring) / len(ring)
+            out.append((raw, filt))
+        return out
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for i in range(40):
+        frames.append((float(rng.normal() * 0.8),
+                       float(rng.normal() * 0.08),
+                       float(rng.normal() * 0.05),
+                       bool(rng.random() > 0.25),
+                       bool(rng.random() > 0.15)))
+
+    expected = oracle(frames)
+    state = steering_init()
+    for (cte, yaw_rad, curv, fv, bv), (exp_raw, exp_filt) in zip(
+            frames, expected):
+        filt, raw, state = steering_step(
+            state, jnp.float32(cte),
+            jnp.float32(yaw_rad) * (180.0 / jnp.pi),
+            jnp.float32(curv), Kp, Ki, Kd, Ks,
+            fused_valid=jnp.bool_(fv), bev_valid=jnp.bool_(bv))
+        np.testing.assert_allclose(float(raw), exp_raw, atol=1e-5)
+        np.testing.assert_allclose(float(filt), exp_filt, atol=1e-5)

@@ -266,3 +266,60 @@ def test_lite_trainer_loss_types():
         tr = LiteTrainer(model, cfg, it, input_hw=(16, 24))
         tr.fit(max_steps=2)
         assert tr.validate(1) is None  # dense tasks skip mIoU
+
+
+def test_mesh_dp_train_step_matches_single_device():
+    """DP training numerics: one step of make_seg_train_step on the
+    8-device mesh equals the same step on a 1-device mesh with identical
+    data — what torch DDP guarantees implicitly via its gradient
+    all-reduce (reference auto_speed_trainer.py:56-61, 103-105)."""
+    import flax.linen as fnn
+    import optax
+    from autoware_vision_pilot_tpu.core.mesh import make_mesh
+    from autoware_vision_pilot_tpu.train.train_step import (
+        create_seg_train_state, make_seg_train_step)
+
+    class TinySeg(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train: bool = False):
+            x = fnn.Conv(8, (3, 3), padding=1)(x)
+            x = fnn.BatchNorm(use_running_average=not train)(x)
+            x = fnn.relu(x)
+            return fnn.Conv(3, (1, 1))(x)
+
+    model = TinySeg()
+    rng = np.random.default_rng(7)
+    B = 8
+    images = jnp.asarray(rng.normal(size=(B, 8, 16, 3)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, 3, size=(B, 8, 16)), jnp.int32)
+    key = jax.random.key(3)
+
+    def one_step(mesh):
+        # sgd, not adam: adam's first-step update is ~±lr*sign(g), which
+        # amplifies fp-reassociation noise in tiny gradients into full-size
+        # update flips; sgd keeps param diff proportional to grad diff,
+        # which is the DP-allreduce property under test.
+        tx = optax.sgd(0.1)
+        state = create_seg_train_state(model, (1, 8, 16, 3),
+                                       jax.random.key(0), tx)
+        run, _ = make_seg_train_step(
+            model, tx, loss_fn=segmentation_ce_loss,
+            mesh=mesh, microbatches=2)
+        new_state, loss = run(state, images, targets, key)
+        return new_state, loss
+
+    mesh8 = make_mesh()
+    assert mesh8.devices.size == 8, "conftest must force 8 CPU devices"
+    mesh1 = make_mesh((1,), devices=jax.devices()[:1])
+
+    s8, l8 = one_step(mesh8)
+    s1, l1 = one_step(mesh1)
+    np.testing.assert_allclose(float(l8), float(l1), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        s8.params, s1.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        s8.batch_stats, s1.batch_stats)
