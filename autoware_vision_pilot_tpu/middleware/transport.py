@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import threading
 from collections import defaultdict
-from typing import Any, Callable, Dict, List
+from typing import Any, Callable, Dict, List, Optional
 
 
 class Transport:
@@ -48,28 +48,86 @@ class InProcTransport(Transport):
 
 
 class Ros2Transport(Transport):
-    """rclpy-backed transport (requires a ROS2 installation).
+    """rclpy-backed transport (requires a ROS2 installation, no cv_bridge).
 
-    Topic contract matches middleware_recipes/ROS2: sensor_msgs/Image in,
-    MONO8 mask / 32FC1 depth out, vision_msgs/Detection2DArray for
-    AutoSpeed.
+    Topic contract matches middleware_recipes/ROS2
+    (run_model_node.cpp:25-190, run_autospeed_node.cpp:16-110):
+    sensor_msgs/Image in (bgr8), MONO8/8UC3 mask or 32FC1 depth out,
+    vision_msgs/Detection2DArray for AutoSpeed. Node callbacks exchange
+    plain numpy arrays; this transport converts at the DDS boundary via
+    ros2_codec (a cv_bridge-free Image/Detection2DArray codec).
+
+    `topic_types` maps topic -> "image" | "detections"; unmapped topics
+    default to Image with the encoding inferred from the array
+    (uint8 HxWx3 -> bgr8, uint8 HxW -> mono8, float32 -> 32FC1,
+    uint8 lane channels published per-channel as mono8 would also work,
+    but the reference keeps one 3-channel mask tensor, so we use 8UC3).
     """
 
-    def __init__(self, node_name: str = "avp_tpu"):
+    def __init__(self, node_name: str = "avp_tpu",
+                 topic_types: Optional[Dict[str, str]] = None,
+                 qos_depth: int = 10):
         import rclpy  # noqa: F401 — hard dependency by design
         from rclpy.node import Node
-        rclpy.init()
+        if not rclpy.ok():
+            rclpy.init()
         self._rclpy = rclpy
         self._node = Node(node_name)
-        self._pubs = {}
+        self._qos = qos_depth
+        self._pubs: Dict[str, Any] = {}
+        self._topic_types = dict(topic_types or {})
 
+    # -- type plumbing -----------------------------------------------------
+    def _kind(self, topic: str, payload=None) -> str:
+        k = self._topic_types.get(topic)
+        if k is not None:
+            return k
+        if payload is not None and getattr(payload, "ndim", 0) == 2 and \
+                payload.shape[-1] == 6 and payload.dtype != "uint8":
+            return "detections"
+        return "image"
+
+    def _msg_class(self, kind: str, payload=None):
+        if kind == "detections":
+            from vision_msgs.msg import Detection2DArray
+            return Detection2DArray
+        from sensor_msgs.msg import Image
+        return Image
+
+    # -- Transport API -----------------------------------------------------
     def publish(self, topic, msg):
-        raise NotImplementedError(
-            "ROS2 message conversion requires cv_bridge; wire via "
-            "nodes.RunModelNode with a Ros2Transport subclass")
+        from . import ros2_codec as codec
+        import numpy as _np
+        arr = _np.asarray(msg)
+        kind = self._kind(topic, arr)
+        if topic not in self._pubs:
+            self._pubs[topic] = self._node.create_publisher(
+                self._msg_class(kind), topic, self._qos)
+        if kind == "detections":
+            wire = codec.dets_to_detection2d_array(arr)
+        else:
+            enc = None
+            if arr.dtype == _np.uint8 and arr.ndim == 3 and \
+                    arr.shape[-1] == 3:
+                # 3-channel uint8: camera frames are bgr8, egolanes mask
+                # stacks are 8UC3 — declared via topic_types={t: "mask3"}
+                enc = "8UC3" if kind == "mask3" else "bgr8"
+            wire = codec.np_to_image_msg(arr, enc)
+        self._pubs[topic].publish(wire)
 
     def subscribe(self, topic, callback):
-        raise NotImplementedError
+        from . import ros2_codec as codec
+        kind = self._kind(topic)
+
+        def on_msg(wire):
+            if kind == "detections" or type(wire).__name__ == \
+                    "Detection2DArray":
+                callback(codec.detection2d_array_to_dets(wire))
+            else:
+                callback(codec.image_msg_to_np(wire))
+
+        self._node.create_subscription(
+            self._msg_class(kind), topic, on_msg, self._qos)
 
     def spin_once(self, timeout: float = 0.0):
         self._rclpy.spin_once(self._node, timeout_sec=timeout)
