@@ -107,3 +107,55 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def visualize_steering_graph(gt_angles, prediction_angles,
+                             output_file: str | None = None,
+                             show: bool = False):
+    """GT-vs-prediction steering angle line plot
+    (Models/visualizations/AutoSteer/graph_visualization.py:27-49)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.arange(len(gt_angles))
+    fig = plt.figure(figsize=(12, 4))
+    plt.plot(x, gt_angles, label="Ground Truth", color="green",
+             linewidth=2)
+    plt.plot(x, prediction_angles, label="Prediction", color="blue",
+             linewidth=2, linestyle="--")
+    plt.xlabel("Sample")
+    plt.ylabel("Value")
+    plt.title("Ground Truth/Prediction")
+    plt.legend()
+    plt.grid(True)
+    plt.tight_layout()
+    if output_file is not None:
+        plt.savefig(output_file, dpi=300)
+    if show:  # pragma: no cover
+        plt.show()
+    plt.close(fig)
+    return fig
+
+
+def mass_visualize_videos(model_name: str, video_dir: str, out_dir: str,
+                          checkpoint: str = "",
+                          max_frames: int | None = None,
+                          suffix: str = ".mp4") -> list:
+    """Run visualize_video over every video in a directory — the
+    mass-video regression sweep
+    (Models/visualizations/EgoLanes/mass_test_vid_inference.py), in-process
+    instead of per-video subprocesses."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    done = []
+    for name in sorted(os.listdir(video_dir)):
+        if not name.endswith(suffix):
+            continue
+        vid_id = name.rsplit(".", 1)[0]
+        out_path = os.path.join(out_dir, vid_id + ".avi")
+        n = visualize_video(model_name, os.path.join(video_dir, name),
+                            out_path, checkpoint=checkpoint,
+                            max_frames=max_frames)
+        done.append((name, out_path, n))
+    return done

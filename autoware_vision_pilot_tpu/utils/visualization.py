@@ -129,3 +129,153 @@ def depth_to_colormap(depth01: np.ndarray) -> np.ndarray:
     """Relative depth in [0,1] -> BGR colormap image."""
     d = np.clip(np.asarray(depth01) * 255, 0, 255).astype(np.uint8)
     return cv2.applyColorMap(d, cv2.COLORMAP_PLASMA)
+
+
+# ---- steering wheel composite (visualize.cpp:856-970) ----------------------
+
+def make_steering_wheel_image(size: int = 128) -> np.ndarray:
+    """Synthesize a BGRA steering-wheel sprite.
+
+    The reference loads a wheel PNG and substitutes a dummy image when the
+    file is missing (main.cpp:846-852); this procedural wheel is that
+    fallback done properly — rim, three spokes, hub, alpha outside.
+    """
+    img = np.zeros((size, size, 4), np.uint8)
+    c = size // 2
+    r_out = int(size * 0.46)
+    r_in = int(size * 0.36)
+    color = (40, 40, 40, 255)
+    cv2.circle(img, (c, c), r_out, color, -1, cv2.LINE_AA)
+    cv2.circle(img, (c, c), r_in, (0, 0, 0, 0), -1, cv2.LINE_AA)
+    for ang in (90.0, 210.0, 330.0):
+        t = np.deg2rad(ang)
+        x2 = int(c + r_in * np.cos(t))
+        y2 = int(c + r_in * np.sin(t))
+        cv2.line(img, (c, c), (x2, y2), color, max(2, size // 16),
+                 cv2.LINE_AA)
+    cv2.circle(img, (c, c), max(3, size // 10), color, -1, cv2.LINE_AA)
+    return img
+
+
+def rotate_steering_wheel(wheel_bgra: np.ndarray,
+                          steering_angle_deg: float) -> np.ndarray:
+    """Half-res resize then rotate about center with transparent borders
+    (rotateSteeringWheel, visualize.cpp:856-881)."""
+    if wheel_bgra is None or wheel_bgra.size == 0:
+        return np.zeros((0, 0, 4), np.uint8)
+    resized = cv2.resize(wheel_bgra, None, fx=0.5, fy=0.5,
+                         interpolation=cv2.INTER_LINEAR)
+    center = (resized.shape[1] / 2.0, resized.shape[0] / 2.0)
+    rot = cv2.getRotationMatrix2D(center, steering_angle_deg, 1.0)
+    return cv2.warpAffine(resized, rot,
+                          (resized.shape[1], resized.shape[0]),
+                          flags=cv2.INTER_LINEAR,
+                          borderMode=cv2.BORDER_CONSTANT,
+                          borderValue=(0, 0, 0, 0))
+
+
+def overlay_alpha(img_bgr: np.ndarray, overlay_bgra: np.ndarray,
+                  x: int, y: int) -> np.ndarray:
+    """Alpha-blend a BGRA sprite onto the frame at (x, y); silently skips
+    out-of-bounds placements (visualizeWheel, visualize.cpp:884-920)."""
+    if overlay_bgra is None or overlay_bgra.size == 0:
+        return img_bgr
+    h, w = overlay_bgra.shape[:2]
+    if x < 0 or y < 0 or x + w > img_bgr.shape[1] or \
+            y + h > img_bgr.shape[0]:
+        return img_bgr
+    roi = img_bgr[y:y + h, x:x + w].astype(np.float32) / 255.0
+    if overlay_bgra.shape[2] == 4:
+        rgb = overlay_bgra[..., :3].astype(np.float32) / 255.0
+        a = (overlay_bgra[..., 3:4].astype(np.float32) / 255.0)
+        blended = rgb * a + roi * (1.0 - a)
+        img_bgr[y:y + h, x:x + w] = (blended * 255.0).astype(np.uint8)
+    else:
+        img_bgr[y:y + h, x:x + w] = overlay_bgra[..., :3]
+    return img_bgr
+
+
+def visualize_steering(img_bgr: np.ndarray, steering_angle: float,
+                       rotated_pred_wheel: np.ndarray,
+                       gt_steering_angle: float | None = None,
+                       rotated_gt_wheel: np.ndarray | None = None
+                       ) -> np.ndarray:
+    """Predicted wheel top-left + angle text; optional GT wheel top-right
+    (visualizeSteering, visualize.cpp:921-968)."""
+    w = img_bgr.shape[1]
+    overlay_alpha(img_bgr, rotated_pred_wheel, 10, 10)
+    if rotated_gt_wheel is not None and rotated_gt_wheel.size:
+        overlay_alpha(img_bgr, rotated_gt_wheel, w - 80, 10)
+    cv2.putText(img_bgr, f"Predicted angle: {steering_angle:.2f}",
+                (10, 100), cv2.FONT_HERSHEY_SIMPLEX, 0.6,
+                (62, 202, 130), 2)
+    if gt_steering_angle is not None and not np.isnan(gt_steering_angle):
+        cv2.putText(img_bgr, f"GT angle: {gt_steering_angle:.2f}",
+                    (w - 180, 100), cv2.FONT_HERSHEY_SIMPLEX, 0.6,
+                    (255, 255, 255), 2)
+    return img_bgr
+
+
+def show_lane_departure_warning(img_bgr: np.ndarray) -> np.ndarray:
+    """Centered warning banner (showLaneDepartureWarning,
+    visualize.cpp:970-992)."""
+    width, height = 200, 40
+    x = img_bgr.shape[1] // 2 - width // 2
+    cv2.rectangle(img_bgr, (x, 20), (x + width, 20 + height),
+                  (51, 153, 153))
+    cv2.putText(img_bgr, "LANE DEPARTURE WARNING",
+                (img_bgr.shape[1] // 2, 40), cv2.FONT_HERSHEY_SIMPLEX,
+                2.0, (0, 0, 0), 2)
+    return img_bgr
+
+
+# ---- BEV debug view (drawBEVVis, visualize.cpp:584-770) --------------------
+
+def gen_bev_points(coeffs6, bev_h: int = 640) -> np.ndarray:
+    """Quadratic BEV coeffs [0, a, b, c, min_y, max_y] -> (N, 2) int points
+    x = a*y^2 + b*y + c sampled per row inside [min_y, max_y] and the
+    640-wide grid (genBEVPoints)."""
+    c = np.asarray(coeffs6, np.float64)
+    if c.size < 6:
+        return np.zeros((0, 2), np.int32)
+    a, b, cc, min_y, max_y = c[1], c[2], c[3], c[4], c[5]
+    ys = np.arange(bev_h, dtype=np.float64)
+    keep = (ys >= min_y) & (ys <= max_y)
+    xs = a * ys * ys + b * ys + cc
+    keep &= (xs >= 0) & (xs < 640)
+    return np.stack([xs[keep], ys[keep]], -1).astype(np.int32)
+
+
+def draw_bev_vis(orig_frame_bgr: np.ndarray, H_orig_to_bev: np.ndarray,
+                 bev_left_coeffs=None, bev_right_coeffs=None,
+                 bev_center_coeffs=None, valid: bool = True,
+                 last_valid_width_pixels: float = 0.0) -> np.ndarray:
+    """640x640 BEV debug composite: perspective-warped frame + ego-left
+    (blue) / ego-right (magenta) / center (yellow) quadratics + lane-width
+    bar near the bottom (drawBEVVis, visualize.cpp:619-770)."""
+    bev = cv2.warpPerspective(orig_frame_bgr,
+                              np.asarray(H_orig_to_bev, np.float64),
+                              (640, 640))
+    if not valid:
+        cv2.putText(bev, "BEV Tracking: Waiting...", (20, 40),
+                    cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 0, 255), 2)
+        return bev
+    for coeffs, color in ((bev_left_coeffs, (255, 0, 0)),
+                          (bev_right_coeffs, (255, 0, 200)),
+                          (bev_center_coeffs, (0, 255, 255))):
+        if coeffs is None:
+            continue
+        pts = gen_bev_points(coeffs)
+        if len(pts) > 1:
+            cv2.polylines(bev, [pts.reshape(-1, 1, 2)], False, color, 4,
+                          cv2.LINE_AA)
+    if last_valid_width_pixels > 0:
+        y, cx = 600, 320
+        half = int(last_valid_width_pixels / 2.0)
+        cv2.line(bev, (cx - half, y), (cx + half, y), (255, 255, 255), 2)
+        for ex in (cx - half, cx + half):
+            cv2.line(bev, (ex, y - 10), (ex, y + 10), (255, 255, 255), 2)
+        cv2.putText(bev, f"Lane Width: {last_valid_width_pixels:.0f} px",
+                    (cx - 90, y - 18), cv2.FONT_HERSHEY_SIMPLEX, 0.6,
+                    (255, 255, 255), 2)
+    return bev
