@@ -203,15 +203,45 @@ def make_domainseg_trainer(model, datasets, cfg: LegacyTrainerConfig = None,
 
 
 def make_egolanes_trainer(model, datasets, cfg: LegacyTrainerConfig = None,
+                          channel_weights: bool = True,
+                          bev_loss_weight: float = 0.0,
+                          bev_homography=None,
+                          bev_wh=(640, 640), perspective_wh=(640, 320),
                           **kw):
-    """EgoLanes legacy trainer: per-channel BCE + multi-scale edge loss
-    (ego_lanes_trainer.py:268-542). Labels are (H/4, W/4, 3) binary masks."""
-    from .losses import lanes_bce_edge_loss
+    """EgoLanes legacy trainer (ego_lanes_trainer.py:268-542):
+    per-channel BCE + multi-scale edge loss with the reference's 2/2/1
+    ego-left/ego-right/other weighting; labels are (H/4, W/4, 3) binary
+    masks.
+
+    With bev_loss_weight > 0 the BEV/reprojected corridor terms
+    (calc_BEV_*_driving_corridor / calc_reprojected_*_driving_corridor)
+    are added for batches that carry BEV GT: the loss_fn then expects the
+    target as a dict {"masks": (N,h,w,3), "bev_gt": {name: (2,K)},
+    "bev_pred": {name: (K,)}, "reproj_gt": {name: (2,K)} (optional)}.
+    """
+    from .losses import (lanes_bce_edge_loss, weighted_egolanes_loss,
+                         corridor_bev_losses)
     cfg = cfg or LegacyTrainerConfig(task="dense",
                                      ckpt_dir="runs/egolanes")
 
-    def loss(logits, tgt, w):
-        total, _, _ = lanes_bce_edge_loss(logits, tgt)
+    def seg_loss(logits, tgt):
+        if channel_weights:
+            total, _ = weighted_egolanes_loss(logits, tgt)
+        else:
+            total, _, _ = lanes_bce_edge_loss(logits, tgt)
         return total
+
+    def loss(logits, tgt, w):
+        if isinstance(tgt, dict):
+            total = seg_loss(logits, tgt["masks"])
+            if bev_loss_weight > 0 and "bev_gt" in tgt:
+                bev = corridor_bev_losses(
+                    tgt["bev_gt"], tgt["bev_pred"],
+                    gt_reproj=tgt.get("reproj_gt"),
+                    homography=bev_homography,
+                    bev_wh=bev_wh, perspective_wh=perspective_wh)
+                total = total + bev_loss_weight * sum(bev.values())
+            return total
+        return seg_loss(logits, tgt)
 
     return LegacySegTrainer(model, datasets, cfg, loss_fn=loss, **kw)

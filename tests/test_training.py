@@ -323,3 +323,74 @@ def test_mesh_dp_train_step_matches_single_device():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
         s8.batch_stats, s1.batch_stats)
+
+
+def test_bev_and_reprojected_losses():
+    """EgoLanes BEV loss family vs hand computation
+    (ego_lanes_trainer.py:362-578 semantics)."""
+    from autoware_vision_pilot_tpu.train.losses import (
+        bev_data_loss, bev_gradient_loss, project_bev_to_image,
+        reprojected_data_loss, corridor_bev_losses,
+        weighted_egolanes_loss, data_and_denoising_loss)
+
+    gt_x = jnp.array([0.2, 0.3, 0.4, 0.5])
+    pred_x = jnp.array([0.25, 0.3, 0.35, 0.5])
+    assert abs(float(bev_data_loss(gt_x, pred_x)) -
+               np.mean([0.05, 0.0, 0.05, 0.0])) < 1e-6
+    # gradient loss: diffs gt [.1,.1,.1] pred [.05,.05,.15]; sum/4
+    assert abs(float(bev_gradient_loss(gt_x, pred_x)) -
+               (0.05 + 0.05 + 0.05) / 4) < 1e-6
+
+    # identity-ish homography: reprojection == scaled BEV coords
+    H = jnp.eye(3)
+    gt_y = jnp.array([0.1, 0.2, 0.3, 0.4])
+    xy = project_bev_to_image(gt_x, gt_y, H, (640, 640), (640, 320))
+    np.testing.assert_allclose(np.asarray(xy[0]),
+                               np.asarray(640 * gt_x / 640), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xy[1]),
+                               np.asarray(640 * gt_y / 320), atol=1e-6)
+
+    # reprojected data loss of gt vs itself is 0
+    gt_reproj = project_bev_to_image(gt_x, gt_y, H, (640, 640), (640, 320))
+    assert float(reprojected_data_loss(
+        gt_reproj, gt_y, gt_x, H, (640, 640), (640, 320))) < 1e-7
+
+    # corridor aggregate returns all four terms and they differentiate
+    gt_elems = {"path": jnp.stack([gt_x, gt_y]),
+                "left": jnp.stack([gt_x - 0.1, gt_y]),
+                "right": jnp.stack([gt_x + 0.1, gt_y])}
+    pred_elems = {"path": pred_x, "left": pred_x - 0.1,
+                  "right": pred_x + 0.1}
+    reproj = {n: project_bev_to_image(gt_elems[n][0], gt_elems[n][1], H,
+                                      (640, 640), (640, 320))
+              for n in gt_elems}
+    out = corridor_bev_losses(gt_elems, pred_elems, gt_reproj=reproj,
+                              homography=H)
+    assert set(out) == {"bev_data", "bev_gradient", "reproj_data",
+                        "reproj_gradient"}
+
+    def total(px):
+        preds = {"path": px, "left": px - 0.1, "right": px + 0.1}
+        o = corridor_bev_losses(gt_elems, preds, gt_reproj=reproj,
+                                homography=H)
+        return sum(o.values())
+
+    g = jax.grad(total)(pred_x)
+    assert np.abs(np.asarray(g)).max() > 0
+
+    # gradient descent on the BEV losses converges pred -> gt
+    px = pred_x
+    for _ in range(200):
+        px = px - 0.01 * jax.grad(total)(px)
+    assert float(total(px)) < float(total(pred_x)) * 0.2
+
+    # channel-weighted seg loss: 2/2/1 weighting increases ego-channel cost
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(1, 16, 32, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, 2, (1, 16, 32, 3)), jnp.float32)
+    totw, per = weighted_egolanes_loss(logits, tgt)
+    assert abs(float(totw) - float(2 * per[0] + 2 * per[1] + per[2])) < 1e-5
+
+    d, den = data_and_denoising_loss(jnp.ones(4) * 2, jnp.ones(4),
+                                     jnp.ones(4) * 2.5)
+    assert abs(float(d) - 1.0) < 1e-6 and abs(float(den) - 0.5) < 1e-6
