@@ -55,13 +55,22 @@ def build_pipeline():
         return x, mask, d
 
     @jax.jit
-    def lanes_step(x):
-        return threshold_channels(lanes.apply(lanes_v, x).astype(jnp.float32))
+    def lanes_step(x, mask, d):
+        lane_masks = threshold_channels(
+            lanes.apply(lanes_v, x).astype(jnp.float32))
+        # tiny per-frame summary: fetched by the host every frame to force
+        # real materialization (block_until_ready alone does not guarantee
+        # execution through the remote tunnel, and identical executions
+        # can be memoized — see BENCH_NOTES.md "Measurement validity")
+        summary = jnp.stack([
+            jnp.sum(mask).astype(jnp.float32), jnp.mean(d),
+            jnp.sum(lane_masks).astype(jnp.float32)])
+        return lane_masks, summary
 
     def pipeline(frame_u8):
         x, mask, d = stack_step(frame_u8)
-        lane_masks = lanes_step(x)
-        return mask, d, lane_masks
+        lane_masks, summary = lanes_step(x, mask, d)
+        return mask, d, lane_masks, summary
 
     return pipeline
 
@@ -127,16 +136,37 @@ def main():
 
     pipeline = build_pipeline()
     rng = np.random.default_rng(0)
-    frame = jnp.asarray(rng.integers(0, 256, (720, 1280, 3), dtype=np.uint8))
+    # Measurement contract (see BENCH_NOTES.md "Measurement validity"):
+    # - DISTINCT frame per iteration: the remote terminal memoizes
+    #   identical (program, args) executions.
+    # - A REAL per-frame result fetch: block_until_ready alone does not
+    #   guarantee execution through the tunnel. The tiny summary vector's
+    #   device->host copy starts asynchronously at dispatch and is awaited
+    #   DEPTH frames later, overlapping the link round-trip with compute
+    #   (verified: asarray costs 0.2 ms once the async copy has landed).
+    # - Frames are PRE-UPLOADED: the axon tunnel moves ~51 MB/s, so a
+    #   per-frame 2.7 MB upload costs 53 ms — that measures the tunnel,
+    #   not the chip. Production hosts feed the chip over local PCIe.
+    #   (Upload-per-frame through this tunnel: 19 FPS, link-bound.)
+    N = 120
+    frames = [jnp.asarray(rng.integers(0, 256, (720, 1280, 3),
+                                       dtype=np.uint8)) for _ in range(N)]
 
     # warmup / compile
-    jax.block_until_ready(pipeline(frame))
-    # pace: measure steady-state over N frames
-    N = 50
+    out = pipeline(frames[0])
+    float(np.asarray(out[3])[0])
+    from collections import deque
+    DEPTH = 16
     t0 = time.perf_counter()
-    for _ in range(N):
-        out = pipeline(frame)
-    jax.block_until_ready(out)
+    pending = deque()
+    for i in range(N):
+        out = pipeline(frames[i])
+        out[3].copy_to_host_async()
+        pending.append(out[3])
+        if len(pending) > DEPTH:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
     dt = (time.perf_counter() - t0) / N
     fps = 1.0 / dt
 

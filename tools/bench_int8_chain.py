@@ -1,0 +1,154 @@
+"""Microbenchmark: is an int8-in/int8-out conv chain faster than bf16?
+
+Round-1 finding (BENCH_NOTES.md "int8 experiments"): per-layer int8 convs
+with f32 dequant between layers measured SLOWER than bf16 — the models
+are activation-bandwidth bound, so int8 only pays if activations stay
+int8 BETWEEN layers (1 byte vs 2 of HBM traffic per element) with the
+requant folded into the conv epilogue.
+
+This benchmark answers that question in isolation before committing to a
+QAT-level redesign: K stacked 3x3 convs at representative decoder shapes,
+three variants
+  bf16    : bf16 weights/activations + tanh-GELU
+  int8-f32: int8 MXU conv, f32 activations between layers (round-1 mode)
+  int8-i8 : int8 MXU conv, static scales, GELU folded into the requant
+            epilogue, int8 activations between layers (round-2 mode)
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_int8_chain.py
+"""
+from __future__ import annotations
+
+import sys
+import pathlib
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+K_LAYERS = 6
+
+
+def gelu_tanh(x):
+    return 0.5 * x * (1 + jnp.tanh(0.7978845608 * (x + 0.044715 * x ** 3)))
+
+
+def conv_kw():
+    return dict(window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def chain_bf16(x, ws):
+    h = x
+    for w in ws:
+        h = lax.conv_general_dilated(h, w, **conv_kw())
+        h = gelu_tanh(h)
+    return h
+
+
+def chain_int8_f32(x, wqs, wscales, xscales):
+    """Round-1 mode: quantize activation each layer, dequant to f32 out."""
+    h = x
+    for wq, sw, sx in zip(wqs, wscales, xscales):
+        hq = jnp.clip(jnp.round(h / sx), -127, 127).astype(jnp.int8)
+        y32 = lax.conv_general_dilated(
+            hq, wq, preferred_element_type=jnp.int32, **conv_kw())
+        h = gelu_tanh(y32.astype(jnp.float32) * (sx * sw))
+    return h
+
+
+def chain_int8_i8(xq, wqs, wscales, xscales, yscales):
+    """Round-2 mode: activations STAY int8; GELU + requant fused into the
+    conv epilogue; one dequant at the very end."""
+    h = xq  # int8
+    for i, (wq, sw, sx, sy) in enumerate(
+            zip(wqs, wscales, xscales, yscales)):
+        y32 = lax.conv_general_dilated(
+            h, wq, preferred_element_type=jnp.int32, **conv_kw())
+        yf = gelu_tanh(y32.astype(jnp.float32) * (sx * sw))
+        h = jnp.clip(jnp.round(yf / sy), -127, 127).astype(jnp.int8)
+    return h.astype(jnp.float32) * yscales[-1]
+
+
+def timeit(fn, *args, iters=200, warmup=20):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    rng = np.random.default_rng(0)
+    shapes = [
+        ("20x40x512", (1, 20, 40, 512), 512),
+        ("40x80x256", (1, 40, 80, 256), 256),
+        ("80x160x128", (1, 80, 160, 128), 128),
+        ("160x320x64", (1, 160, 320, 64), 64),
+    ]
+    print(f"{'shape':>12} {'bf16':>8} {'int8-f32':>9} {'int8-i8':>8} "
+          f"{'i8/bf16':>8}")
+    for name, xshape, ch in shapes:
+        x = jnp.asarray(rng.normal(0, 1, xshape), jnp.bfloat16)
+        ws, wqs, wscales = [], [], []
+        for _ in range(K_LAYERS):
+            w = rng.normal(0, 0.05, (3, 3, ch, ch)).astype(np.float32)
+            ws.append(jnp.asarray(w, jnp.bfloat16))
+            s = np.abs(w).max(axis=(0, 1, 2)) / 127.0
+            wqs.append(jnp.asarray(
+                np.clip(np.round(w / s), -127, 127), jnp.int8))
+            wscales.append(jnp.asarray(s, jnp.float32))
+        xscales = [jnp.float32(0.05)] * K_LAYERS
+        yscales = [jnp.float32(0.05)] * K_LAYERS
+
+        f_bf16 = jax.jit(chain_bf16)
+        f_i8f32 = jax.jit(lambda x, w=tuple(wqs), s=tuple(wscales),
+                          xs=tuple(xscales):
+                          chain_int8_f32(x.astype(jnp.float32), w, s, xs))
+        xq = jnp.clip(jnp.round(
+            x.astype(jnp.float32) / 0.05), -127, 127).astype(jnp.int8)
+        f_i8i8 = jax.jit(lambda xq, w=tuple(wqs), s=tuple(wscales),
+                         xs=tuple(xscales), ys=tuple(yscales):
+                         chain_int8_i8(xq, w, s, xs, ys))
+
+        t1 = timeit(f_bf16, x, ws)
+        t2 = timeit(f_i8f32, x)
+        t3 = timeit(f_i8i8, xq)
+        print(f"{name:>12} {t1:8.3f} {t2:9.3f} {t3:8.3f} {t3/t1:8.2f}")
+
+
+if __name__ == "__main__":
+    main()
+
+
+def recheck_anomaly():
+    """20x40x512 bf16 measured above v5e peak — rule out result caching by
+    feeding distinct inputs per call and checking scaling with layers."""
+    rng = np.random.default_rng(1)
+    ch = 512
+    xs = [jnp.asarray(rng.normal(0, 1, (1, 20, 40, ch)), jnp.bfloat16)
+          for _ in range(16)]
+    ws = [jnp.asarray(rng.normal(0, 0.05, (3, 3, ch, ch)), jnp.bfloat16)
+          for _ in range(K_LAYERS)]
+    f = jax.jit(chain_bf16)
+    for _ in range(10):
+        out = f(xs[0], ws)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(200):
+        out = f(xs[i % 16], ws)
+    jax.block_until_ready(out)
+    per = (time.perf_counter() - t0) / 200 * 1e3
+    flops = 2 * 20 * 40 * ch * ch * 9 * K_LAYERS
+    print(f"distinct-inputs 20x40x512 bf16: {per:.3f} ms "
+          f"({flops / per / 1e9:.0f} TFLOP/s)")
