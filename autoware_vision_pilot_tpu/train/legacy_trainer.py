@@ -45,6 +45,9 @@ class LegacyTrainerConfig:
     batch_schedule: Sequence[int] = BATCH_SIZE_SCHEDULE
     task: str = "seg"  # 'seg' (mIoU validation) | 'dense' (val-loss only)
     label_dtype: Any = None  # default: int32 for seg, float32 for dense
+    qat: bool = False  # quantization-aware training (train/qat.py) —
+    #                    Quanty-QAT analog for the legacy model family
+    qat_min_channels: int = 32
 
 
 class LegacySegTrainer:
@@ -75,9 +78,17 @@ class LegacySegTrainer:
             def loss(p, bs):
                 x = images.astype(jnp.float32) / 255.0
                 x = (x - IMAGENET_MEAN) / IMAGENET_STD
-                out, mut = self.model.apply(
-                    {"params": p, "batch_stats": bs}, x, train=True,
-                    mutable=["batch_stats"], rngs={"dropout": key})
+                if cfg.qat:
+                    from .qat import qat_apply
+                    out, mut = qat_apply(
+                        self.model, {"params": p, "batch_stats": bs}, x,
+                        train=True, mutable=["batch_stats"],
+                        rngs={"dropout": key},
+                        min_channels=cfg.qat_min_channels)
+                else:
+                    out, mut = self.model.apply(
+                        {"params": p, "batch_stats": bs}, x, train=True,
+                        mutable=["batch_stats"], rngs={"dropout": key})
                 return self.loss_fn(out, labels, jnp.mean(weights, 0)), \
                     mut.get("batch_stats", bs)
 

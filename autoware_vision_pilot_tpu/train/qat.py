@@ -1,0 +1,160 @@
+"""Quantization-aware training for the whole model zoo ("Quanty" QAT).
+
+The reference's QAT flow covers every exported model via PT2E +
+XNNPACKQuantizer with inserted observers (Models/exports/README.md:19-55,
+Models/exports/quantization/). The TPU-native equivalent here is
+observer-free JAX:
+
+- **weights**: symmetric per-output-channel int8 fake-quant with a
+  straight-through estimator, applied to the same conv kernels the
+  deployment transform quantizes
+  (export.quantize.quantize_variables_for_int8_conv selection rule);
+- **activations**: per-tensor fake-quant at every Conv2d input via
+  ``flax.linen.intercept_methods`` (the PT2E observer-insertion analog —
+  no model changes needed), with the running amax sown so calibrated
+  static scales fall out of training for free;
+- **export**: `int8_variables_from_qat` converts QAT-trained weights +
+  recorded activation scales straight into the int8 MXU inference format
+  consumed by nn.layers.Conv2d.
+
+Works with any flax module built on nn.layers (SceneSeg family, EgoLanes,
+AutoSpeed/AutoSteer, Lite models); AutoDrive's bespoke QAT trainer
+(train/autodrive_trainer.py) predates this and remains.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import flax.linen as fnn
+
+from ..nn.layers import Conv2d
+
+
+def fake_quant_ste(w, axis=None):
+    """Symmetric int8 fake-quant with straight-through gradients.
+    axis=None -> per-tensor scale; axis=tuple -> reduce over those dims
+    (per-output-channel for HWIO kernels: axis=(0, 1, 2))."""
+    amax = (jnp.max(jnp.abs(w)) if axis is None
+            else jnp.max(jnp.abs(w), axis=axis, keepdims=True))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127) * scale
+    return w + jax.lax.stop_gradient(q - w)
+
+
+def fake_quant_params(params, min_channels: int = 32):
+    """Fake-quant every conv kernel the deployment transform would
+    quantize (rank-4 'w' leaves with >= min_channels input channels),
+    per-output-channel — the training-time mirror of
+    export.quantize.quantize_variables_for_int8_conv."""
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v) if isinstance(v, dict) else v
+               for k, v in node.items()}
+        w = out.get("w")
+        if w is not None and hasattr(w, "ndim") and w.ndim == 4 \
+                and jnp.issubdtype(w.dtype, jnp.floating) \
+                and w.shape[2] >= min_channels:
+            out["w"] = fake_quant_ste(w, axis=(0, 1, 2))
+        return out
+
+    return walk(params)
+
+
+def make_act_quant_interceptor(min_channels: int = 32):
+    """flax intercept_methods hook fake-quanting every Conv2d input
+    (dynamic per-tensor scale during training) and sowing the activation
+    amax so static deployment scales can be read back."""
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if (isinstance(m, Conv2d) and context.method_name == "__call__"
+                and args and hasattr(args[0], "ndim")
+                and args[0].ndim == 4
+                and args[0].shape[-1] >= min_channels
+                and jnp.issubdtype(args[0].dtype, jnp.floating)):
+            x = args[0]
+            xf = x.astype(jnp.float32)
+            amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
+            m.sow("intermediates", "qat_act_amax", amax)
+            xq = fake_quant_ste(xf).astype(x.dtype)
+            args = (xq,) + args[1:]
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
+def qat_apply(model, variables, *args, min_channels: int = 32,
+              quant_acts: bool = True, **kwargs):
+    """model.apply with QAT numerics: fake-quanted conv kernels, and
+    (optionally) fake-quanted conv input activations. Drop-in inside any
+    loss function; gradients flow straight-through.
+
+    Returns whatever model.apply returns. Pass
+    ``mutable=[..., "intermediates"]`` to also receive the sown
+    qat_act_amax observers."""
+    v = dict(variables)
+    v["params"] = fake_quant_params(v["params"], min_channels)
+    if not quant_acts:
+        return model.apply(v, *args, **kwargs)
+    with fnn.intercept_methods(make_act_quant_interceptor(min_channels)):
+        return model.apply(v, *args, **kwargs)
+
+
+def collect_act_scales(intermediates) -> dict:
+    """Extract {module-path-tuple: amax/127} from sown qat_act_amax."""
+    scales = {}
+
+    def walk(node, path):
+        for k, v in node.items():
+            if k == "qat_act_amax":
+                vals = v if isinstance(v, (tuple, list)) else [v]
+                amax = max(float(jnp.max(jnp.asarray(x))) for x in vals)
+                scales[tuple(path)] = amax / 127.0
+            elif isinstance(v, dict):
+                walk(v, path + [k])
+
+    walk(intermediates, [])
+    return scales
+
+
+def int8_variables_from_qat(variables, act_scales: dict,
+                            min_channels: int = 32):
+    """Convert QAT-trained float variables + recorded activation scales
+    into the deployment int8 format (int8 'w' + 'w_scale' + static
+    'x_scale' leaves) consumed natively by nn.layers.Conv2d."""
+    from ..export.quantize import quantize_variables_for_int8_conv
+
+    out = quantize_variables_for_int8_conv(variables,
+                                           min_channels=min_channels)
+    params = out["params"]
+
+    def insert(path, scale):
+        node = params
+        for p in path:
+            if p not in node:
+                return
+            node = node[p]
+        if "w_scale" in node:  # only convs actually quantized
+            node["x_scale"] = jnp.asarray(scale, jnp.float32)
+
+    for path, s in act_scales.items():
+        insert(path, s)
+    return out
+
+
+def make_qat_loss(model, base_loss: Callable, min_channels: int = 32,
+                  quant_acts: bool = True):
+    """Wrap a standard `loss(apply_fn, params, batch) -> scalar`-style
+    closure: the returned callable has the signature
+    ``loss(params, batch_stats, x, *loss_args, rngs=None)`` and runs the
+    forward with QAT numerics."""
+    def loss(params, batch_stats, x, *loss_args, rngs=None):
+        out, mut = qat_apply(
+            model, {"params": params, "batch_stats": batch_stats}, x,
+            train=True, mutable=["batch_stats", "intermediates"],
+            rngs=rngs, min_channels=min_channels, quant_acts=quant_acts)
+        return base_loss(out, *loss_args), mut
+
+    return loss

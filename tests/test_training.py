@@ -109,6 +109,46 @@ def test_augmentations_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(l4), np.asarray(lab)[:, :, ::-1])
 
 
+def test_augmentation_profiles_full_sets():
+    """The four per-profile compositions (augmentations.py:63-113 parity):
+    jittable, shape/range-preserving, deterministic per key, and the
+    roadwork profile (p=1.0 HSV) actually changes the image."""
+    from autoware_vision_pilot_tpu.train.augment import PROFILE_FNS
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0.1, 0.9, (4, 32, 64, 3)
+                                  ).astype(np.float32))
+    for name, fn in PROFILE_FNS.items():
+        out = jax.jit(fn)(jax.random.key(3), img)
+        assert out.shape == img.shape, name
+        a = np.asarray(out)
+        assert np.isfinite(a).all(), name
+        assert a.min() >= 0.0 and a.max() <= 1.0 + 1e-6, name
+        out2 = jax.jit(fn)(jax.random.key(3), img)
+        np.testing.assert_array_equal(a, np.asarray(out2))
+    road = np.asarray(PROFILE_FNS["roadwork"](jax.random.key(1), img))
+    assert np.abs(road - np.asarray(img)).max() > 0.05
+
+
+def test_hsv_roundtrip():
+    from autoware_vision_pilot_tpu.train.augment import (
+        _rgb_to_hsv_vec, _hsv_to_rgb_vec)
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32))
+    back = _hsv_to_rgb_vec(_rgb_to_hsv_vec(img))
+    assert float(jnp.max(jnp.abs(back - img))) < 1e-4
+
+
+def test_augment_batch_profile_dispatch():
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 16, 32, 3)).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, 3, (2, 16, 32)).astype(np.int32))
+    for prof in ("moderate", "noise", "roadwork", "autosteer", "none"):
+        i2, l2 = augment_batch(jax.random.key(0), img, lab,
+                               noise_profile=prof)
+        assert i2.shape == img.shape and l2.shape == lab.shape
+
+
 def test_decode_scene_seg_mask():
     lab = np.zeros((4, 4, 3), np.uint8)
     lab[0, :] = SCENESEG_COLOURS["road"]
