@@ -347,20 +347,33 @@ class PipelineEngine:
             self.sink(res, lat_out, tracking)
         return res
 
-    def run(self, max_frames: Optional[int] = None, warmup: bool = False):
-        """Dual-pipeline loop with one-frame software pipelining: frame N's
-        device programs are dispatched (async) before frame N-1's results
+    def run(self, max_frames: Optional[int] = None, warmup: bool = False,
+            pipeline_depth: int = 1):
+        """Dual-pipeline loop with k-frame software pipelining: frame N's
+        device programs are dispatched (async) before frame N-k's results
         are fetched, hiding device latency behind host work — the same
         decoupling the reference gets from its capture/display threads
         (main.cpp DoubleFrameBuffer + result queues). Results stream with a
-        one-frame delay."""
+        `pipeline_depth`-frame delay.
+
+        The device->host copies of the two per-frame result arrays (the
+        packed lateral scalar vector and the packed detection table) start
+        asynchronously at dispatch time (`copy_to_host_async`); by the
+        time frame N-k is harvested the bytes have already landed, so the
+        harvest never pays a blocking link round-trip. The lateral state
+        pytree itself never leaves the device (donated buffer). Depth 1
+        reproduces the reference's one-frame decoupling; deeper values
+        hide longer links (the remote-TPU tunnel) at the cost of control
+        latency — on local-PCIe hosts depth 1-2 is the right setting."""
         if warmup:
             self.warmup()
+        from collections import deque
+        depth = max(1, int(pipeline_depth))
         target_dt = 1.0 / self.cfg.target_fps if self.cfg.target_fps else 0.0
         lat_state = self.lateral.init_state()
         frame_num = 0
         results = []
-        pending = None  # (frame_num, frame, lat_out, lon_out)
+        pending = deque()  # (frame_num, frame, lat_out, lon_out)
         while not self._stop.is_set():
             if max_frames is not None and frame_num >= max_frames:
                 break
@@ -371,16 +384,20 @@ class PipelineEngine:
             dev_frame = jnp.asarray(frame)
             t_cap = time.perf_counter()
 
-            # dispatch frame N (async — returns device futures)
+            # dispatch frame N (async — returns device futures) and start
+            # the device->host copies of the per-frame result arrays
             lat_out, lat_state = self.lateral(dev_frame, lat_state)
-            lon_out = (self.longitudinal(dev_frame)
-                       if self.longitudinal is not None else None)
+            lat_out["scalars"].copy_to_host_async()
+            lon_out = None
+            if self.longitudinal is not None:
+                lon_out = self.longitudinal(dev_frame)
+                lon_out.copy_to_host_async()
             t_inf = time.perf_counter()
 
-            # harvest frame N-1 while N executes
-            if pending is not None:
-                results.append(self._harvest(*pending))
-            pending = (frame_num, frame, lat_out, lon_out)
+            # harvest frame N-depth while N..N-depth+1 execute
+            pending.append((frame_num, frame, lat_out, lon_out))
+            if len(pending) > depth:
+                results.append(self._harvest(*pending.popleft()))
             frame_num += 1
             t_end = time.perf_counter()
             self.metrics.add_frame(capture_s=t_cap - t0,
@@ -391,8 +408,8 @@ class PipelineEngine:
                 sleep = target_dt - (time.perf_counter() - t0)
                 if sleep > 0:
                     time.sleep(sleep)
-        if pending is not None:
-            results.append(self._harvest(*pending))
+        while pending:
+            results.append(self._harvest(*pending.popleft()))
         return results
 
     def stop(self):

@@ -1,0 +1,139 @@
+"""Tests for the auxiliary host tools: RerunLogger contract, interactive
+camera selection, manual GT-audit session (reference parity:
+src/rerun/rerun_logger.cpp, src/camera/camera_utils.cpp:140-270,
+Models/data_utils/manual_audit_app.py)."""
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from autoware_vision_pilot_tpu.utils import rerun_logger as rl_mod
+from autoware_vision_pilot_tpu.utils.manual_audit import AuditSession
+from autoware_vision_pilot_tpu.drivers.camera import (
+    CameraInfo, select_camera, print_driver_instructions)
+
+
+# ---------------------------------------------------------------- rerun
+
+def test_rerun_logger_noop_without_sdk(capsys):
+    """Without the SDK the logger must be a silent no-op (ENABLE_RERUN
+    off contract): constructing and logging cannot raise."""
+    logger = rl_mod.RerunLogger.__new__(rl_mod.RerunLogger)
+    logger.enabled = False
+    logger.log_data(0, frame_bgr=np.zeros((4, 4, 3), np.uint8),
+                    steering_deg=1.0)
+
+
+def test_rerun_logger_with_fake_sdk(monkeypatch):
+    """With a (fake) SDK present, every signal of the reference's logData
+    set (rerun_logger.hpp:33-89) is logged under the expected paths."""
+    calls = []
+    fake = types.SimpleNamespace(
+        init=lambda app_id: calls.append(("init", app_id)),
+        spawn=lambda: calls.append(("spawn",)),
+        save=lambda p: calls.append(("save", p)),
+        set_time_sequence=lambda n, v: calls.append(("seq", n, v)),
+        log=lambda path, obj: calls.append(("log", path)),
+        Image=lambda a: ("img", a.shape),
+        Scalar=lambda v: ("scalar", v),
+    )
+    monkeypatch.setattr(rl_mod, "rr", fake)
+    monkeypatch.setattr(rl_mod, "_HAS_RERUN", True)
+
+    logger = rl_mod.RerunLogger(save_path="/tmp/x.rrd")
+    logger.log_data(
+        7, frame_bgr=np.zeros((8, 8, 3), np.uint8),
+        lane_masks=np.zeros((80, 160, 3), np.float32),
+        steering_deg=3.0, autosteer_deg=2.0, cte_m=0.1,
+        yaw_error_rad=0.05, ego_speed_ms=20.0, set_speed_ms=22.0,
+        inference_us=5000.0)
+
+    assert ("init", "visionpilot_tpu") in calls
+    assert ("save", "/tmp/x.rrd") in calls
+    assert ("seq", "frame", 7) in calls
+    paths = {c[1] for c in calls if c[0] == "log"}
+    assert {"camera/frame", "perception/lane_masks",
+            "control/steering_deg", "control/autosteer_deg",
+            "pathfinder/cte_m", "pathfinder/yaw_error_rad",
+            "vehicle/ego_speed_ms", "planner/set_speed_ms",
+            "perf/inference_us"} <= paths
+
+
+# --------------------------------------------------------------- camera
+
+def _devs():
+    return [CameraInfo(0, "/dev/video0", "FakeCam A", 1280, 720, 30.0),
+            CameraInfo(2, "/dev/video2", "FakeCam B", 640, 480, 0.0)]
+
+
+def test_select_camera_by_index():
+    out = []
+    got = select_camera(input_fn=lambda prompt: "1",
+                        print_fn=out.append, devices=_devs())
+    assert got is not None and got.index == 2
+    listing = "\n".join(out)
+    assert "/dev/video0" in listing and "1280x720" in listing
+    assert "@ 30 fps" in listing
+
+
+def test_select_camera_quit_and_invalid():
+    assert select_camera(input_fn=lambda p: "q", print_fn=lambda s: None,
+                         devices=_devs()) is None
+    assert select_camera(input_fn=lambda p: "zzz", print_fn=lambda s: None,
+                         devices=_devs()) is None
+    assert select_camera(input_fn=lambda p: "9", print_fn=lambda s: None,
+                         devices=_devs()) is None
+
+
+def test_select_camera_no_devices_prints_driver_help():
+    out = []
+    assert select_camera(input_fn=lambda p: "0", print_fn=out.append,
+                         devices=[]) is None
+    assert any("Driver" in line for line in out)
+
+
+# --------------------------------------------------------- manual audit
+
+def _image_folder(tmp_path, n=4):
+    import cv2
+    for i in range(n):
+        cv2.imwrite(str(tmp_path / f"f{i:03d}.png"),
+                    np.full((8, 8, 3), i * 10, np.uint8))
+    return tmp_path
+
+
+def test_audit_session_accept_reject_and_resume(tmp_path):
+    folder = _image_folder(tmp_path)
+    s = AuditSession(folder)
+    assert s.current == "f000.png"
+    s.accept()
+    s.reject()
+    s.save()
+    assert s.summary() == {"accepted": 1, "rejected": 1,
+                           "remaining": 2, "total": 4}
+
+    # resume mid-session (reference select_folder_and_resume :105)
+    s2 = AuditSession(folder)
+    assert s2.current_index == 2
+    assert s2.accepted == ["f000.png"] and s2.rejected == ["f001.png"]
+    s2.accept()
+    s2.accept()
+    assert s2.done and s2.current is None
+    s2.accept()  # past the end: no-op
+    assert s2.summary()["accepted"] == 3
+
+
+def test_audit_session_back_undoes_last_decision(tmp_path):
+    folder = _image_folder(tmp_path)
+    s = AuditSession(folder)
+    s.accept()
+    s.reject()
+    s.back()
+    assert s.current == "f001.png"
+    assert s.rejected == [] and s.accepted == ["f000.png"]
+    s.back()
+    s.back()  # at index 0: no-op
+    assert s.current_index == 0 and s.accepted == []

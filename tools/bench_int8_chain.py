@@ -33,7 +33,12 @@ cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
 jax.config.update("jax_compilation_cache_dir", str(cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-K_LAYERS = 6
+import os
+# Defaults chosen so kernel time dominates the ~2 ms per-execution
+# dispatch floor of the remote tunnel (measured: at K=6/B=1 every variant
+# reads ~1.9 ms regardless of dtype — that is the floor, not the kernel).
+K_LAYERS = int(os.environ.get("K_LAYERS", "48"))
+BATCH = int(os.environ.get("BATCH", "8"))
 
 
 def gelu_tanh(x):
@@ -77,29 +82,43 @@ def chain_int8_i8(xq, wqs, wscales, xscales, yscales):
     return h.astype(jnp.float32) * yscales[-1]
 
 
-def timeit(fn, *args, iters=200, warmup=20):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, xs, *args, iters=200, warmup=20):
+    """Measurement contract (BENCH_NOTES.md "Measurement validity"):
+    rotate DISTINCT inputs (the tunnel memoizes identical executions) and
+    force materialization with an async-copied per-iter summary awaited a
+    window later (block_until_ready alone does not prove execution)."""
+    from collections import deque
+    for i in range(warmup):
+        out = fn(xs[i % len(xs)], *args)
+    np.asarray(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    pending = deque()
+    for i in range(iters):
+        out = fn(xs[i % len(xs)], *args)
+        out.copy_to_host_async()
+        pending.append(out)
+        if len(pending) > 16:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
     return (time.perf_counter() - t0) / iters * 1e3
 
 
 def main():
     rng = np.random.default_rng(0)
     shapes = [
-        ("20x40x512", (1, 20, 40, 512), 512),
-        ("40x80x256", (1, 40, 80, 256), 256),
-        ("80x160x128", (1, 80, 160, 128), 128),
-        ("160x320x64", (1, 160, 320, 64), 64),
+        ("20x40x512", (BATCH, 20, 40, 512), 512),
+        ("40x80x256", (BATCH, 40, 80, 256), 256),
+        ("80x160x128", (BATCH, 80, 160, 128), 128),
+        ("160x320x64", (BATCH, 160, 320, 64), 64),
     ]
+    print(f"K_LAYERS={K_LAYERS} BATCH={BATCH}")
     print(f"{'shape':>12} {'bf16':>8} {'int8-f32':>9} {'int8-i8':>8} "
           f"{'i8/bf16':>8}")
+    N_IN = 16
     for name, xshape, ch in shapes:
-        x = jnp.asarray(rng.normal(0, 1, xshape), jnp.bfloat16)
+        xs16 = [jnp.asarray(rng.normal(0, 1, xshape), jnp.bfloat16)
+                for _ in range(N_IN)]
         ws, wqs, wscales = [], [], []
         for _ in range(K_LAYERS):
             w = rng.normal(0, 0.05, (3, 3, ch, ch)).astype(np.float32)
@@ -111,20 +130,27 @@ def main():
         xscales = [jnp.float32(0.05)] * K_LAYERS
         yscales = [jnp.float32(0.05)] * K_LAYERS
 
-        f_bf16 = jax.jit(chain_bf16)
+        # each variant returns a scalar summary so the per-iter fetch is
+        # tiny; the reduction cost is negligible vs K_LAYERS 3x3 convs
+        f_bf16 = jax.jit(lambda x, w=tuple(ws):
+                         jnp.sum(chain_bf16(x, w).astype(jnp.float32)))
         f_i8f32 = jax.jit(lambda x, w=tuple(wqs), s=tuple(wscales),
                           xs=tuple(xscales):
-                          chain_int8_f32(x.astype(jnp.float32), w, s, xs))
-        xq = jnp.clip(jnp.round(
+                          jnp.sum(chain_int8_f32(
+                              x.astype(jnp.float32), w, s, xs)))
+        xq16 = [jnp.clip(jnp.round(
             x.astype(jnp.float32) / 0.05), -127, 127).astype(jnp.int8)
+            for x in xs16]
         f_i8i8 = jax.jit(lambda xq, w=tuple(wqs), s=tuple(wscales),
                          xs=tuple(xscales), ys=tuple(yscales):
-                         chain_int8_i8(xq, w, s, xs, ys))
+                         jnp.sum(chain_int8_i8(xq, w, s, xs, ys)))
 
-        t1 = timeit(f_bf16, x, ws)
-        t2 = timeit(f_i8f32, x)
-        t3 = timeit(f_i8i8, xq)
-        print(f"{name:>12} {t1:8.3f} {t2:9.3f} {t3:8.3f} {t3/t1:8.2f}")
+        t1 = timeit(f_bf16, xs16)
+        t2 = timeit(f_i8f32, xs16)
+        t3 = timeit(f_i8i8, xq16)
+        flops = 2 * BATCH * xshape[1] * xshape[2] * ch * ch * 9 * K_LAYERS
+        print(f"{name:>12} {t1:8.3f} {t2:9.3f} {t3:8.3f} {t3/t1:8.2f}"
+              f"   bf16={flops/t1/1e9:5.0f} i8={flops/t3/1e9:5.0f} TOP/s")
 
 
 if __name__ == "__main__":
