@@ -21,7 +21,16 @@ from ..export.checkpoints import load_msgpack
 
 class _Base:
     def __init__(self, model, variables=None, checkpoint: str = "",
-                 input_hw=(320, 640), dtype=jnp.float32):
+                 input_hw=(320, 640), dtype=jnp.float32,
+                 precision: str = "float", int8_min_channels: int = 128,
+                 int8_calibration=None):
+        """precision: 'float' keeps the weights as-is; 'int8' applies
+        the selective int8 MXU path (convs with >= int8_min_channels
+        input channels; +24% streaming FPS measured vs bf16 on v5e —
+        BENCH_NOTES "Round 2: int8 end-to-end"). int8_calibration:
+        optional iterable of preprocessed (1,H,W,3) batches for static
+        activation scales (defaults to 4 random batches — pass real
+        frames for deployment-grade scales, or use train/qat.py)."""
         self.model = model
         self.input_hw = input_hw
         self.dtype = dtype
@@ -30,6 +39,19 @@ class _Base:
                 jax.random.key(0), jnp.zeros((1, *input_hw, 3), dtype))
             if checkpoint:
                 variables = load_msgpack(checkpoint, variables)
+        if precision == "int8":
+            from ..export.quantize import (
+                quantize_variables_for_int8_conv,
+                calibrate_int8_activation_scales)
+            variables = quantize_variables_for_int8_conv(
+                variables, min_channels=int8_min_channels)
+            if int8_calibration is None:
+                rng = np.random.default_rng(7)
+                int8_calibration = [
+                    jnp.asarray(rng.normal(0, 1, (1, *input_hw, 3)), dtype)
+                    for _ in range(4)]
+            variables = calibrate_int8_activation_scales(
+                model, variables, int8_calibration)
         self.variables = variables
 
 

@@ -23,7 +23,21 @@ import jax
 import jax.numpy as jnp
 
 
-def build_pipeline():
+def _quantize_int8(model, variables, x0, min_channels=128):
+    """Selective int8 MXU path (+24% streaming FPS measured, BENCH_NOTES
+    "Round 2: int8 end-to-end"): int8 weights + static calibrated
+    activation scales for convs with >= min_channels input channels."""
+    from autoware_vision_pilot_tpu.export.quantize import (
+        quantize_variables_for_int8_conv,
+        calibrate_int8_activation_scales)
+    variables = quantize_variables_for_int8_conv(variables, min_channels)
+    rng = np.random.default_rng(7)
+    cal = [jnp.asarray(rng.normal(0.0, 1.0, x0.shape), x0.dtype)
+           for _ in range(4)]
+    return calibrate_int8_activation_scales(model, variables, cal)
+
+
+def build_pipeline(int8: bool = False):
     from autoware_vision_pilot_tpu.models import EgoLanesNetwork
     from autoware_vision_pilot_tpu.models.multitask import (
         SharedPerceptionStack)
@@ -42,6 +56,9 @@ def build_pipeline():
     x0 = jnp.zeros((1, 320, 640, 3), jnp.bfloat16)
     stack_v = stack.init(key, x0)
     lanes_v = lanes.init(key, x0)
+    if int8:
+        stack_v = _quantize_int8(stack, stack_v, x0)
+        lanes_v = _quantize_int8(lanes, lanes_v, x0)
 
     # Two jitted programs (the remote-compile tunnel caps program size;
     # async dispatch overlaps execution). Preprocess fused into the first.
@@ -173,14 +190,15 @@ def bench_clip(batch: int = 10, clip_len: int = 100):
         "vs_baseline": round(fps / 30.0, 3)}))
 
 
-def main(fused: bool = False):
+def main(fused: bool = False, int8: bool = False):
     # persistent compilation cache (analog of the TRT engine cache)
     cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    pipeline = build_pipeline_fused() if fused else build_pipeline()
+    pipeline = (build_pipeline_fused() if fused
+                else build_pipeline(int8=int8))
     rng = np.random.default_rng(0)
     # Measurement contract (see BENCH_NOTES.md "Measurement validity"):
     # - DISTINCT frame per iteration: the remote terminal memoizes
@@ -219,6 +237,8 @@ def main(fused: bool = False):
     metric = "scene_seg+scene3d+ego_lanes_pipeline_fps_per_chip"
     if fused:
         metric += "_fused1prog"
+    if int8:
+        metric += "_int8"
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 2),
@@ -234,4 +254,4 @@ if __name__ == "__main__":
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         bench_clip()
     else:
-        main(fused="--fused" in sys.argv)
+        main(fused="--fused" in sys.argv, int8="--int8" in sys.argv)

@@ -1,0 +1,18 @@
+#!/bin/bash
+# OpenADKit demo: scene_3d video visualization
+# (reference: software_defined_vehicle/OpenADKit/*/launch-*.sh)
+set -e
+cd "$(dirname "$0")"
+CKPT=""
+if [ -f "model-weights/scene_3d.msgpack" ]; then
+    CKPT="/opt/avp/model-weights/scene_3d.msgpack"
+fi
+docker run -it --rm \
+    -v "$PWD"/model-weights:/opt/avp/model-weights \
+    -v "$PWD"/../Test:/opt/avp/test \
+    --entrypoint python visionpilot-tpu \
+    -m autoware_vision_pilot_tpu.utils.video_viz \
+    --model scene_3d \
+    --checkpoint "$CKPT" \
+    --video /opt/avp/test/traffic-driving.mp4 \
+    --out /opt/avp/test/output_scene3d.avi
