@@ -55,3 +55,38 @@ class JaxInferenceBackend(InferenceBackend):
         if self._shape is None:
             raise RuntimeError("run do_inference first")
         return self._shape
+
+
+def backend_from_params(p: dict) -> "JaxInferenceBackend":
+    """Build a backend from an autoseg.yaml-style parameter dict
+    (model_path / model_type / precision keys; run_model_node.cpp:29-61
+    parameter contract). model_path points at a msgpack checkpoint whose
+    stem selects the network family ('scene_seg', 'scene_3d',
+    'domain_seg', 'ego_lanes'); a missing/empty path gives random init."""
+    import pathlib
+    from ..models import (SceneSegNetwork, Scene3DNetwork,
+                          DomainSegNetwork, EgoLanesNetwork)
+
+    families = {"scene_seg": SceneSegNetwork, "scene_3d": Scene3DNetwork,
+                "domain_seg": DomainSegNetwork,
+                "ego_lanes": EgoLanesNetwork}
+    path = p.get("model_path", "")
+    stem = pathlib.Path(path).stem.lower() if path else ""
+    cls = next((c for k, c in families.items() if k in stem),
+               None)
+    if cls is None:
+        cls = {"segmentation": SceneSegNetwork, "depth": Scene3DNetwork,
+               "egolanes": EgoLanesNetwork}.get(
+            p.get("model_type", "segmentation"), SceneSegNetwork)
+    dtype = jnp.bfloat16 if p.get("precision", "fp16") in (
+        "fp16", "bf16") else jnp.float32
+    model = cls(dtype=dtype, param_dtype=dtype)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 320, 640, 3), dtype))
+    if path and pathlib.Path(path).exists():
+        from ..export.checkpoints import load_msgpack
+        variables = load_msgpack(path, variables)
+    return JaxInferenceBackend(model, variables,
+                               model_type=p.get("model_type",
+                                                "segmentation"),
+                               dtype=dtype)

@@ -381,7 +381,14 @@ class PipelineEngine:
             frame = self.frame_source()
             if frame is None:
                 break
-            dev_frame = jnp.asarray(frame)
+            # frame_source may return (host_frame, device_frame) — e.g. a
+            # prefetcher that double-buffers uploads (the DoubleFrameBuffer
+            # role): the device buffer feeds the programs, the host view
+            # feeds the host-side tracking (ORB crops) without a fetch.
+            if isinstance(frame, tuple):
+                frame, dev_frame = frame
+            else:
+                dev_frame = jnp.asarray(frame)
             t_cap = time.perf_counter()
 
             # dispatch frame N (async — returns device futures) and start

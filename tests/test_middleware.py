@@ -278,3 +278,135 @@ def test_ros2_transport_requires_rclpy():
     from autoware_vision_pilot_tpu.middleware.transport import Ros2Transport
     with pytest.raises(ImportError):
         Ros2Transport()
+
+
+def test_pathfinder_node_tracked_states_contract():
+    """PATHFINDER node (pathfinder_node.cpp:22-35): lane paths in ->
+    tracked_states out with the Float32MultiArray layout consumers index
+    ([3]=cte, [7]=yaw, [11]=curvature)."""
+    from autoware_vision_pilot_tpu.middleware.nodes import PathFinderNode
+
+    t = InProcTransport()
+    got = []
+    t.subscribe("/pathfinder/tracked_states", got.append)
+    node = PathFinderNode(t)
+    # straight lane 2 m either side of the vehicle, 20 m ahead
+    # (x positive toward the left lane: width = r_cte - l_cte = 4)
+    ys = np.linspace(0.0, 20.0, 10)
+    t.publish("/egoLaneL", [(2.0, y) for y in ys])
+    t.publish("/egoLaneR", [(-2.0, y) for y in ys])
+    for _ in range(25):
+        t.publish("/egoPath", [(0.0, y) for y in ys])
+    assert len(got) == 25
+    states = got[-1]
+    assert states.shape == (14,)
+    assert abs(states[3]) < 0.25          # centered -> fused cte ~ 0
+    assert abs(states[7]) < 0.05          # straight -> yaw ~ 0
+    assert abs(states[12] - 4.0) < 0.5    # lane width ~ 4 m
+
+
+def test_steering_controller_node():
+    """steering_controller_node.cpp: tracked_states + odom -> steering
+    command with the exact hybrid formula."""
+    from autoware_vision_pilot_tpu.middleware.nodes import (
+        SteeringControllerNode)
+    import math
+
+    t = InProcTransport()
+    cmds = []
+    t.subscribe("/vehicle/steering_cmd", cmds.append)
+    node = SteeringControllerNode(t, K_p=0.33, K_i=0.11, K_d=-0.40,
+                                  K_S=1.0)
+    t.publish("/hero/odom", {"twist": {"linear": {"x": 8.0}}})
+    states = np.zeros(14, np.float32)
+    states[3], states[7], states[11] = 0.5, 0.1, 0.02
+    t.publish("/pathfinder/tracked_states", states)
+    expected = (-0.40 * (0.1 - 0.0) + math.atan(0.11 * 0.5)
+                + 0.33 * 0.1 + 0.02 * 1.0)
+    assert cmds and abs(cmds[0] - expected) < 1e-6
+    # short message ignored (:25-28)
+    t.publish("/pathfinder/tracked_states", np.zeros(5, np.float32))
+    assert len(cmds) == 1
+
+
+def test_longitudinal_controller_node():
+    """longitudinal_controller_node.cpp: curvature-capped target speed,
+    log-model feed-forward throttle, brake only on hard decel demand."""
+    from autoware_vision_pilot_tpu.middleware.nodes import (
+        LongitudinalControllerNode)
+
+    t = InProcTransport()
+    throttle, brake = [], []
+    t.subscribe("/vehicle/throttle_cmd", throttle.append)
+    t.subscribe("/vehicle/brake_cmd", brake.append)
+    node = LongitudinalControllerNode(t, target_vel=10.0)
+
+    # vel_to_throttle matches the fitted log model (:68-82)
+    assert LongitudinalControllerNode.vel_to_throttle(0.0) == 0.0
+    v5 = LongitudinalControllerNode.vel_to_throttle(5.0)
+    assert 0.0 < v5 < 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        LongitudinalControllerNode.vel_to_throttle(-1.0)
+
+    # straight road, slow -> feed-forward throttle, no brake
+    states = np.zeros(14, np.float32)
+    t.publish("/pathfinder/tracked_states", states)
+    t.publish("/hero/odom", {"twist": {"linear": {"x": 2.0}}})
+    assert throttle and throttle[-1] > 0 and brake[-1] == 0.0
+
+    # tight curve caps the target speed; overspeed -> zero feed-forward
+    states[11] = 0.5   # curvature 0.5 -> cap = sqrt(2/0.5) = 2 m/s
+    t.publish("/pathfinder/tracked_states", states)
+    t.publish("/hero/odom", {"twist": {"linear": {"x": 9.0}}})
+    assert throttle[-1] == 0.0 and brake[-1] > 0.0
+
+
+def test_depth_visualization_node():
+    from autoware_vision_pilot_tpu.middleware.nodes import (
+        DepthVisualizationNode)
+
+    t = InProcTransport()
+    out = []
+    t.subscribe("/viz/depth", out.append)
+    DepthVisualizationNode(t)
+    t.publish("/image_raw", np.zeros((64, 128, 3), np.uint8))
+    t.publish("/model/depth", np.linspace(0, 1, 32 * 64
+                                          ).reshape(32, 64).astype(
+                                              np.float32))
+    assert out and out[0].shape == (64, 128, 3)
+    assert out[0].dtype == np.uint8
+
+
+def test_launch_pipeline_from_yaml_params():
+    """run_pipeline.launch.py + autoseg.yaml contract: two models share
+    the input topic, each publishes its own mask topic."""
+    from autoware_vision_pilot_tpu.middleware.nodes import launch_pipeline
+
+    params = {
+        "scene_seg_model": {"ros__parameters": {
+            "model_type": "segmentation",
+            "input_topic": "/sensors/video/image_raw",
+            "output_topic": "/autoseg/scene_seg/mask"}},
+        "domain_seg_model": {"ros__parameters": {
+            "model_type": "segmentation",
+            "input_topic": "/sensors/video/image_raw",
+            "output_topic": "/autoseg/domain_seg/mask"}},
+    }
+
+    class FakeBackend:
+        def do_inference(self, img):
+            return np.zeros((80, 160, 3), np.float32)
+
+        def get_tensor_shape(self):
+            return (80, 160, 3)
+
+    t = InProcTransport()
+    masks, masks2 = [], []
+    t.subscribe("/autoseg/scene_seg/mask", masks.append)
+    t.subscribe("/autoseg/domain_seg/mask", masks2.append)
+    nodes = launch_pipeline(t, params, make_backend=lambda p: FakeBackend())
+    assert set(nodes) == {"scene_seg_model", "domain_seg_model"}
+    t.publish("/sensors/video/image_raw",
+              np.zeros((720, 1280, 3), np.uint8))
+    assert len(masks) == 1 and len(masks2) == 1

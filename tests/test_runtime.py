@@ -132,3 +132,14 @@ def test_engine_smoke():
     assert len(results) == 2
     assert all(np.isfinite(r.steering_deg) for r in results)
     assert all(np.isfinite(r.set_speed) for r in results)
+
+    # deep software pipelining (k=3) and a pre-uploaded (host, device)
+    # frame source produce the same number of in-order results
+    frames4 = [np.random.default_rng(10 + i).integers(
+        0, 256, (720, 1280, 3), dtype=np.uint8) for i in range(4)]
+    pairs = iter([(f, jnp.asarray(f)) for f in frames4])
+    engine2 = PipelineEngine(cfg, lat, lon, of,
+                             frame_source=lambda: next(pairs, None))
+    results2 = engine2.run(max_frames=4, pipeline_depth=3)
+    assert [r.frame_num for r in results2] == [0, 1, 2, 3]
+    assert all(np.isfinite(r.steering_deg) for r in results2)

@@ -55,28 +55,45 @@ def main():
     lat = LateralPipeline(lanes_v, steer_v, cfg, dtype=dtype)
     lon = LongitudinalPipeline(speed_v, cfg, dtype=dtype)
 
-    frames = [np.random.default_rng(i).integers(
-        0, 255, (720, 1280, 3), dtype=np.uint8) for i in range(16)]
+    # DISTINCT frames (the tunnel memoizes identical executions); two
+    # source modes: host frames (upload per frame — through this tunnel
+    # the 2.7 MB/51 MB/s upload bounds the loop at ~19 FPS, measuring the
+    # link) and pre-uploaded (host, device) pairs (the local-PCIe-host
+    # analog: a capture prefetcher double-buffering uploads).
+    n_distinct = 64
+    host_frames = [np.random.default_rng(i).integers(
+        0, 255, (720, 1280, 3), dtype=np.uint8) for i in range(n_distinct)]
+    dev_frames = [jnp.asarray(f) for f in host_frames]
 
-    for depth in (1, 2, 4, 8):
+    configs = [
+        ("upload   +tracking", "upload", True, (1, 8)),
+        ("preupload+tracking", "preuploaded", True, (1, 8)),
+        ("preupload no-track", "preuploaded", False, (1, 2, 4, 8)),
+    ]
+    for label, mode, track, depths in configs:
+      print(f"-- {label}")
+      for depth in depths:
         i = 0
 
         def source():
             nonlocal i
             i += 1
-            return frames[i % len(frames)]
+            j = i % n_distinct
+            if mode == "preuploaded":
+                return host_frames[j], dev_frames[j]
+            return host_frames[j]
 
-        eng = PipelineEngine(cfg, lat, lon,
-                             ObjectFinder(np.eye(3), 1280, 720),
+        of = ObjectFinder(np.eye(3), 1280, 720) if track else None
+        eng = PipelineEngine(cfg, lat, lon, of,
                              frame_source=source, sink=None)
         eng.warmup()
         t0 = time.perf_counter()
         results = eng.run(max_frames=n_frames, pipeline_depth=depth)
         dt = time.perf_counter() - t0
         fps = len(results) / dt
-        print(f"depth={depth}: {fps:6.1f} FPS "
+        print(f"  depth={depth}: {fps:6.1f} FPS "
               f"({dt / len(results) * 1e3:.1f} ms/frame, "
-              f"{len(results)} frames)")
+              f"{len(results)} frames)", flush=True)
 
 
 if __name__ == "__main__":
