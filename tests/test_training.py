@@ -434,3 +434,39 @@ def test_bev_and_reprojected_losses():
     d, den = data_and_denoising_loss(jnp.ones(4) * 2, jnp.ones(4),
                                      jnp.ones(4) * 2.5)
     assert abs(float(d) - 1.0) < 1e-6 and abs(float(den) - 0.5) < 1e-6
+
+
+def test_tensor_parallel_inference_matches_single_device():
+    """TP channel sharding over a (data=2, model=4) mesh: outputs match
+    the unsharded forward (XLA inserts the ICI collectives; SURVEY §2.3
+    'optional pjit sharding of conv channels')."""
+    import flax.linen as fnn
+    from autoware_vision_pilot_tpu.nn.layers import Conv2d, Linear
+    from autoware_vision_pilot_tpu.parallel.tensor_parallel import (
+        shard_variables_tp, make_tp_infer)
+    from jax.sharding import Mesh
+
+    class Net(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            h = Conv2d(64, 3, padding=1, name="c1")(x)
+            h = jax.nn.relu(h)
+            h = Conv2d(32, 3, padding=1, name="c2")(h)
+            h = jnp.mean(h, axis=(1, 2))
+            return Linear(16, name="fc")(h)
+
+    net = Net()
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (4, 16, 32, 3)), jnp.float32)
+    v = net.init(jax.random.key(0), x)
+    ref = net.apply(v, x)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    tp_v = shard_variables_tp(v, mesh)
+    # kernels actually sharded on their output-channel dim
+    c1w = tp_v["params"]["c1"]["w"]
+    assert not c1w.sharding.is_fully_replicated
+    out = make_tp_infer(net.apply, tp_v, mesh)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
