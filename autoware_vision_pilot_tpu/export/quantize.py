@@ -92,7 +92,8 @@ class QuantizedInference:
         return self._fwd(self.q_params, x)
 
 
-def quantize_variables_for_int8_conv(variables, min_channels: int = 32):
+def quantize_variables_for_int8_conv(variables, min_channels: int = 32,
+                                     quantize_transpose: bool = False):
     """Transform a variables tree for the native int8 MXU conv path.
 
     Every Conv2d kernel leaf named 'w' (rank 4, HWIO) with at least
@@ -125,6 +126,18 @@ def quantize_variables_for_int8_conv(variables, min_channels: int = 32):
             out["w_scale"] = scale
             out["w"] = _jnp.clip(_jnp.round(w / scale), -127,
                                  127).astype(_jnp.int8)
+        if quantize_transpose and "wt" in out \
+                and hasattr(out["wt"], "ndim") and out["wt"].ndim == 4 \
+                and jnp.issubdtype(out["wt"].dtype, jnp.floating) \
+                and out["wt"].shape[3] >= min_channels:
+            # ConvTranspose2d kernel (kh, kw, O, I): per-O scales at dim 2
+            w = out["wt"].astype(_jnp.float32)
+            amax = _jnp.max(_jnp.abs(w), axis=(0, 1, 3))
+            scale = _jnp.maximum(amax, 1e-8) / 127.0
+            out["wt_scale"] = scale
+            out["wt"] = _jnp.clip(
+                _jnp.round(w / scale[None, None, :, None]), -127,
+                127).astype(_jnp.int8)
         return out
 
     result = {}

@@ -1,4 +1,7 @@
-from .backend import InferenceBackend, JaxInferenceBackend
+from .backend import (InferenceBackend, JaxInferenceBackend,
+                      backend_from_params)
 from .transport import Transport, InProcTransport, make_transport
-from .nodes import RunModelNode, RunAutoSpeedNode, VideoPublisherNode, \
-    MasksVisualizationNode
+from .nodes import (RunModelNode, RunAutoSpeedNode, VideoPublisherNode,
+                    MasksVisualizationNode, DepthVisualizationNode,
+                    PathFinderNode, SteeringControllerNode,
+                    LongitudinalControllerNode, launch_pipeline)

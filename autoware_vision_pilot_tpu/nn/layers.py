@@ -137,15 +137,34 @@ class ConvTranspose2d(fnn.Module):
             self.param_dtype,
         )
         dtype = self.dtype or x.dtype
-        y = lax.conv_transpose(
-            x.astype(dtype),
-            w.astype(dtype),
+        ct_kw = dict(
             strides=_pair(self.stride),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             transpose_kernel=True,
-            precision=self.precision,
         )
+        if w.dtype == jnp.int8:
+            # int8 MXU path, mirroring Conv2d: per-output-channel int8
+            # weights ('wt_scale') + static ('x_scale') or dynamic
+            # activation scale.
+            w_scale = self.param("wt_scale", fnn.initializers.ones,
+                                 (self.features,), jnp.float32)
+            xf = x.astype(jnp.float32)
+            if self.has_variable("params", "x_scale"):
+                sx = self.param("x_scale", fnn.initializers.ones,
+                                (), jnp.float32)
+            else:
+                amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
+                self.sow("intermediates", "act_amax", amax)
+                sx = amax / 127.0
+            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            y32 = lax.conv_transpose(
+                xq, w, preferred_element_type=jnp.int32, **ct_kw)
+            y = (y32.astype(jnp.float32) * (sx * w_scale)).astype(dtype)
+        else:
+            y = lax.conv_transpose(
+                x.astype(dtype), w.astype(dtype),
+                precision=self.precision, **ct_kw)
         if self.use_bias:
             b = self.param("b", fnn.initializers.zeros, (self.features,),
                            self.param_dtype)

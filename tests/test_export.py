@@ -156,3 +156,34 @@ def test_int8_static_calibration():
     # out-of-calibration input still works (clipping handles overflow)
     out2 = m.apply(sv, x * 2)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_int8_conv_transpose_path():
+    """ConvTranspose int8 MXU path (quantize_transpose=True): decoder
+    up-blocks run int8 with per-output-channel scales; accuracy within
+    PTQ bounds."""
+    import flax.linen as fnn
+    from autoware_vision_pilot_tpu.nn.layers import ConvTranspose2d, Conv2d
+    from autoware_vision_pilot_tpu.export.quantize import (
+        quantize_variables_for_int8_conv)
+
+    class Up(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            h = Conv2d(64, 3, padding=1, name="c")(x)
+            return ConvTranspose2d(32, 2, 2, name="up")(h)
+
+    m = Up()
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 0.5, (1, 8, 16, 48)), jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    ref = m.apply(v, x)
+
+    v8 = quantize_variables_for_int8_conv(v, min_channels=32,
+                                          quantize_transpose=True)
+    assert v8["params"]["c"]["w"].dtype == jnp.int8
+    assert v8["params"]["up"]["wt"].dtype == jnp.int8
+    assert v8["params"]["up"]["wt_scale"].shape == (32,)
+    out = m.apply(v8, x)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel

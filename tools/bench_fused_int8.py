@@ -27,7 +27,7 @@ N = int(os.environ.get("N_FRAMES", "120"))
 DEPTH = 16
 
 
-def build_fused(variant: str, min_ch: int = 128):
+def build_fused(variant: str, min_ch: int = 128, q_transpose: bool = False):
     from autoware_vision_pilot_tpu.models import EgoLanesNetwork
     from autoware_vision_pilot_tpu.models.multitask import (
         SharedPerceptionStack)
@@ -46,8 +46,10 @@ def build_fused(variant: str, min_ch: int = 128):
     stack_v = stack.init(key, x0)
     lanes_v = lanes.init(key, x0)
     if variant == "int8":
-        stack_v = quantize_variables_for_int8_conv(stack_v, min_ch)
-        lanes_v = quantize_variables_for_int8_conv(lanes_v, min_ch)
+        stack_v = quantize_variables_for_int8_conv(
+            stack_v, min_ch, quantize_transpose=q_transpose)
+        lanes_v = quantize_variables_for_int8_conv(
+            lanes_v, min_ch, quantize_transpose=q_transpose)
         rng = np.random.default_rng(7)
         cal = [jnp.asarray(rng.normal(0.0, 1.0, x0.shape), jnp.bfloat16)
                for _ in range(4)]
@@ -93,10 +95,19 @@ def main():
     rng = np.random.default_rng(0)
     frames = [jnp.asarray(rng.integers(0, 256, (720, 1280, 3),
                                        dtype=np.uint8)) for _ in range(N)]
-    for variant in ("bf16", "int8"):
-        p = build_fused(variant)
+    variants = [("bf16", 128, False), ("int8", 128, False),
+                ("int8", 64, False), ("int8", 128, True),
+                ("int8", 64, True)]
+    if os.environ.get("VARIANTS"):  # e.g. "int8:64:1,int8:128:1"
+        variants = []
+        for spec in os.environ["VARIANTS"].split(","):
+            v, m, t = spec.split(":")
+            variants.append((v, int(m), bool(int(t))))
+    for variant, min_ch, q_t in variants:
+        p = build_fused(variant, min_ch, q_t)
         fps = measure(p, frames)
-        print(f"[fused-1prog {variant}] {fps:7.1f} FPS "
+        print(f"[fused-1prog {variant} min_ch={min_ch} "
+              f"q_transpose={int(q_t)}] {fps:7.1f} FPS "
               f"({fps / 30.0:.2f}x north star)", flush=True)
 
 
