@@ -470,3 +470,18 @@ def test_tensor_parallel_inference_matches_single_device():
     out = make_tp_infer(net.apply, tp_v, mesh)(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_distributed_init_and_hybrid_mesh_single_process():
+    """env:// initialization (auto_speed_trainer.py:280-298 analog):
+    WORLD_SIZE==1 falls back to single-process; the hybrid mesh degrades
+    to a flat ICI mesh usable by the DP train step."""
+    from autoware_vision_pilot_tpu.parallel.distributed import (
+        initialize_distributed, make_hybrid_mesh)
+
+    assert initialize_distributed(num_processes=1) is False
+    mesh = make_hybrid_mesh(ici_axes=(8,), axis_names=("data",))
+    assert mesh.shape == {"data": 8}
+    mesh2 = make_hybrid_mesh(ici_axes=(2, 4),
+                             axis_names=("data", "model"))
+    assert mesh2.shape == {"data": 2, "model": 4}
