@@ -118,12 +118,37 @@ def main(argv=None):
         import cv2
         writer = cv2.VideoWriter(
             cfg.output.output_video_path,
-            cv2.VideoWriter_fourcc(*"MJPG"), cfg.target_fps, (1280, 720))
+            cv2.VideoWriter_fourcc(*"MJPG"),
+            cfg.target_fps or 10.0, (1280, 720))
+
+    wheel = viz.make_steering_wheel_image() \
+        if (writer is not None or cfg.output.enable_viz) else None
 
     t_start = time.perf_counter()
     frame_count = [0]
 
-    def sink(res, lat_out, tracking):
+    def compose(res, lat_out, tracking, frame):
+        """Unified display composite (unifiedDisplayThread,
+        main.cpp:881-1005): lane overlay + tracked boxes + HUD + wheel."""
+        out = viz.draw_lane_masks(
+            frame, np.asarray(lat_out["lane_masks"], np.float32),
+            crop_y=420)
+        if tracking is not None:
+            cipo_id = tracking.cipo.track_id if tracking.cipo.exists else -1
+            out = viz.draw_detections(out, tracking.tracked_objects,
+                                      cipo_track_id=cipo_id)
+        el = time.perf_counter() - t_start
+        out = viz.draw_hud(out, steering_deg=res.steering_deg,
+                           set_speed=res.set_speed,
+                           fps=(frame_count[0] / el if el > 0 else 0.0),
+                           fcw=res.fcw, aeb=res.aeb, cut_in=res.cut_in,
+                           lane_departure=res.lane_departure)
+        out = viz.visualize_steering(
+            out, res.steering_deg,
+            viz.rotate_steering_wheel(wheel, res.steering_deg))
+        return out
+
+    def sink(res, lat_out, tracking, frame=None):
         if can is not None:
             can.update()
             ego = can.get_state()
@@ -169,6 +194,18 @@ def main(argv=None):
                 s.ego_speed_ms = float("nan")
                 s.can_valid = False
             shm.publish(s)
+        if frame is not None and (writer is not None or
+                                  cfg.output.enable_viz):
+            composite = compose(res, lat_out, tracking, frame)
+            if writer is not None:
+                writer.write(composite)
+            if cfg.output.enable_viz:
+                try:
+                    import cv2
+                    cv2.imshow("VisionPilot-TPU", composite)
+                    cv2.waitKey(1)
+                except Exception:
+                    pass
         frame_count[0] += 1
 
     engine = build_engine(cfg, frame_source, sink=sink)

@@ -7,4 +7,12 @@ from .pipeline import (
     ThreadSafeQueue,
     DoubleFrameBuffer,
     FrameResult,
+    build_lateral_step,
+    init_lateral_state,
+)
+from .fleet import (
+    FleetLateralPipeline,
+    FleetLongitudinalPipeline,
+    FleetEngine,
+    unpack_fleet_scalars,
 )

@@ -112,6 +112,100 @@ SCALAR_FIELDS = ("steering_filtered", "steering_raw", "autosteer_deg",
                  "path_valid")
 
 
+def build_lateral_step(lanes_vars, autosteer_vars, cfg: Config,
+                       frame_hw=(720, 1280), crop_y: int = 420,
+                       dtype=jnp.bfloat16):
+    """Build the fused per-frame lateral step function.
+
+    Returns step(frame_u8, state) -> (outputs dict, new LateralState) —
+    pure and jittable; `LateralPipeline` jits it directly, the fleet
+    serving mode (`runtime/fleet.py`) vmaps it over independent streams.
+    """
+    kw = dict(dtype=dtype, param_dtype=dtype)
+    lanes = EgoLanesNetwork(**kw)
+    steer_net = AutoSteerTemporalNet(**kw)
+    s = cfg.steering
+    K = (s.Kp, s.Ki, s.Kd, s.Ks)
+    threshold = (cfg.models["egolanes"].threshold
+                 if "egolanes" in cfg.models else 0.0)
+
+    def step(frame_u8, state: LateralState):
+        cropped = frame_u8[crop_y:]
+        x = preprocess_imagenet(cropped[None], (320, 640), dtype=dtype)
+        lane_logits = lanes.apply(lanes_vars, x)[0]          # (80,160,3)
+        lane_logits32 = lane_logits.astype(jnp.float32)
+
+        # temporal AutoSteer on [t-1, t] stacked masks
+        stacked = jnp.concatenate(
+            [state.prev_lane_raw, lane_logits32], axis=-1)[None]
+        _, curr_logits = steer_net.apply(
+            autosteer_vars, stacked.astype(dtype))
+        autosteer_deg = steering_from_logits(
+            curr_logits.astype(jnp.float32))[0]
+        autosteer_rad = autosteer_deg * (jnp.pi / 180.0)
+
+        masks = threshold_channels(lane_logits32, threshold)
+        k1, k2, k3 = jax.random.split(state.key, 3)
+        lc, lv, rc, rv, lf_state, _, _ = lane_filter_update(
+            masks[..., 0], masks[..., 1], masks[..., 2],
+            state.lane_filter, k1)
+
+        trk, lt_state = lane_tracker_update(
+            lc, lv, rc, rv, state.lane_tracker,
+            model_hw=(80, 160),
+            image_hw=(frame_hw[0] - crop_y, frame_hw[1]))
+
+        left_m = bev_pixels_to_meters(trk.bev_left_pts)
+        right_m = bev_pixels_to_meters(trk.bev_right_pts)
+        pf_out, bayes = path_finder_update(
+            state.bayes, left_m, trk.bev_left_mask,
+            right_m, trk.bev_right_mask, autosteer_rad, k2)
+
+        # reference call site (main.cpp:580-589): steering computed
+        # only on fused_valid frames, yaw_error in DEGREES (*180/pi),
+        # feed-forward = fused curvature channel (the Bayes-fused
+        # AutoSteer angle) passed through unchanged; the moving-average
+        # ring advances only on bev-valid frames.
+        filtered, raw_angle, steer_state = steering_step(
+            state.steering, pf_out.cte,
+            pf_out.yaw_error * (180.0 / jnp.pi),
+            pf_out.curvature, *K,
+            fused_valid=pf_out.fused_valid,
+            bev_valid=trk.path_valid)
+
+        new_state = LateralState(lane_logits32, lf_state, lt_state,
+                                 bayes, steer_state, k3)
+        # scalar results packed into ONE vector so the host fetches
+        # them in a single device round-trip (layout in SCALAR_FIELDS)
+        scalars = jnp.stack([
+            filtered, raw_angle, autosteer_deg,
+            pf_out.cte, pf_out.yaw_error, pf_out.lane_width,
+            pf_out.fused_valid.astype(jnp.float32),
+            trk.path_valid.astype(jnp.float32),
+        ]).astype(jnp.float32)
+        coeffs = jnp.stack([trk.left_coeffs, trk.right_coeffs,
+                            trk.center_coeffs]).astype(jnp.float32)
+        outputs = {
+            "scalars": scalars,
+            "coeffs": coeffs,       # (3, 6) left/right/center
+            "lane_masks": masks,    # viz only — not fetched per frame
+        }
+        return outputs, new_state
+
+    return step
+
+
+def init_lateral_state(seed: int = 0) -> LateralState:
+    return LateralState(
+        prev_lane_raw=jnp.zeros((80, 160, 3), jnp.float32),
+        lane_filter=LaneFilterState.init(),
+        lane_tracker=LaneTrackerState.init(),
+        bayes=BayesState.init(),
+        steering=steering_init(),
+        key=jax.random.key(seed),
+    )
+
+
 class LateralPipeline:
     """Fused lateral step: one device program per frame."""
 
@@ -121,88 +215,13 @@ class LateralPipeline:
         self.cfg = cfg
         self.crop_y = crop_y
         self.frame_hw = frame_hw
-        kw = dict(dtype=dtype, param_dtype=dtype)
-        lanes = EgoLanesNetwork(**kw)
-        steer_net = AutoSteerTemporalNet(**kw)
-        s = cfg.steering
-        K = (s.Kp, s.Ki, s.Kd, s.Ks)
-        threshold = (cfg.models["egolanes"].threshold
-                     if "egolanes" in cfg.models else 0.0)
-
-        def step(frame_u8, state: LateralState):
-            cropped = frame_u8[self.crop_y:]
-            x = preprocess_imagenet(cropped[None], (320, 640), dtype=dtype)
-            lane_logits = lanes.apply(lanes_vars, x)[0]          # (80,160,3)
-            lane_logits32 = lane_logits.astype(jnp.float32)
-
-            # temporal AutoSteer on [t-1, t] stacked masks
-            stacked = jnp.concatenate(
-                [state.prev_lane_raw, lane_logits32], axis=-1)[None]
-            _, curr_logits = steer_net.apply(
-                autosteer_vars, stacked.astype(dtype))
-            autosteer_deg = steering_from_logits(
-                curr_logits.astype(jnp.float32))[0]
-            autosteer_rad = autosteer_deg * (jnp.pi / 180.0)
-
-            masks = threshold_channels(lane_logits32, threshold)
-            k1, k2, k3 = jax.random.split(state.key, 3)
-            lc, lv, rc, rv, lf_state, _, _ = lane_filter_update(
-                masks[..., 0], masks[..., 1], masks[..., 2],
-                state.lane_filter, k1)
-
-            trk, lt_state = lane_tracker_update(
-                lc, lv, rc, rv, state.lane_tracker,
-                model_hw=(80, 160),
-                image_hw=(self.frame_hw[0] - self.crop_y, self.frame_hw[1]))
-
-            left_m = bev_pixels_to_meters(trk.bev_left_pts)
-            right_m = bev_pixels_to_meters(trk.bev_right_pts)
-            pf_out, bayes = path_finder_update(
-                state.bayes, left_m, trk.bev_left_mask,
-                right_m, trk.bev_right_mask, autosteer_rad, k2)
-
-            # reference call site (main.cpp:580-589): steering computed
-            # only on fused_valid frames, yaw_error in DEGREES (*180/pi),
-            # feed-forward = fused curvature channel (the Bayes-fused
-            # AutoSteer angle) passed through unchanged; the moving-average
-            # ring advances only on bev-valid frames.
-            filtered, raw_angle, steer_state = steering_step(
-                state.steering, pf_out.cte,
-                pf_out.yaw_error * (180.0 / jnp.pi),
-                pf_out.curvature, *K,
-                fused_valid=pf_out.fused_valid,
-                bev_valid=trk.path_valid)
-
-            new_state = LateralState(lane_logits32, lf_state, lt_state,
-                                     bayes, steer_state, k3)
-            # scalar results packed into ONE vector so the host fetches
-            # them in a single device round-trip (layout in SCALAR_FIELDS)
-            scalars = jnp.stack([
-                filtered, raw_angle, autosteer_deg,
-                pf_out.cte, pf_out.yaw_error, pf_out.lane_width,
-                pf_out.fused_valid.astype(jnp.float32),
-                trk.path_valid.astype(jnp.float32),
-            ]).astype(jnp.float32)
-            coeffs = jnp.stack([trk.left_coeffs, trk.right_coeffs,
-                                trk.center_coeffs]).astype(jnp.float32)
-            outputs = {
-                "scalars": scalars,
-                "coeffs": coeffs,       # (3, 6) left/right/center
-                "lane_masks": masks,    # viz only — not fetched per frame
-            }
-            return outputs, new_state
-
+        step = build_lateral_step(lanes_vars, autosteer_vars, cfg,
+                                  frame_hw=frame_hw, crop_y=crop_y,
+                                  dtype=dtype)
         self._step = jax.jit(step, donate_argnums=(1,))
 
     def init_state(self, seed: int = 0) -> LateralState:
-        return LateralState(
-            prev_lane_raw=jnp.zeros((80, 160, 3), jnp.float32),
-            lane_filter=LaneFilterState.init(),
-            lane_tracker=LaneTrackerState.init(),
-            bayes=BayesState.init(),
-            steering=steering_init(),
-            key=jax.random.key(seed),
-        )
+        return init_lateral_state(seed)
 
     def __call__(self, frame_u8, state):
         return self._step(frame_u8, state)
@@ -275,6 +294,16 @@ class PipelineEngine:
         self.object_finder = object_finder
         self.frame_source = frame_source
         self.sink = sink
+        # sinks may take (res, lat_out, tracking) or additionally the
+        # raw frame as a 4th parameter (for display/video composition)
+        self._sink_wants_frame = False
+        if sink is not None:
+            import inspect
+            try:
+                n_params = len(inspect.signature(sink).parameters)
+                self._sink_wants_frame = n_params >= 4
+            except (TypeError, ValueError):
+                pass
         self.buffer = DoubleFrameBuffer()
         self.metrics = PerformanceMetrics()
         self.speed_planner = SpeedPlanner(
@@ -344,7 +373,10 @@ class PipelineEngine:
             abs(res.cte) > 0.5 * (lane_w / 2.0)
 
         if self.sink is not None:
-            self.sink(res, lat_out, tracking)
+            if self._sink_wants_frame:
+                self.sink(res, lat_out, tracking, frame)
+            else:
+                self.sink(res, lat_out, tracking)
         return res
 
     def run(self, max_frames: Optional[int] = None, warmup: bool = False,

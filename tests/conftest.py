@@ -24,6 +24,14 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
+# Persistent compilation cache (shared with bench.py/__graft_entry__):
+# the CPU backend caches too, and on a 1-core host the big test programs
+# (fleet/runtime engines, train steps) dominate suite wall-time.
+_cache = REPO / ".jax_cache"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 REFERENCE = pathlib.Path("/root/reference")
 
 import pytest

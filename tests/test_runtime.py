@@ -143,3 +143,13 @@ def test_engine_smoke():
     results2 = engine2.run(max_frames=4, pipeline_depth=3)
     assert [r.frame_num for r in results2] == [0, 1, 2, 3]
     assert all(np.isfinite(r.steering_deg) for r in results2)
+
+    # a 4-parameter sink additionally receives the raw frame (for the
+    # display/video composite in app.py)
+    seen = []
+    it3 = iter(frames)
+    engine3 = PipelineEngine(
+        cfg, lat, lon, of, frame_source=lambda: next(it3, None),
+        sink=lambda res, lat_out, trk, frame: seen.append(frame))
+    engine3.run(max_frames=1)
+    assert len(seen) == 1 and seen[0].shape == (720, 1280, 3)

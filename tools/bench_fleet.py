@@ -1,0 +1,90 @@
+"""Fleet serving benchmark: aggregate FPS vs number of vmapped streams.
+
+Measures the full stateful lateral stack (EgoLanes + temporal AutoSteer +
+LaneFilter + LaneTracker + Bayes PathFinder + steering) batched over N
+independent camera streams in ONE device program per tick
+(runtime/fleet.FleetLateralPipeline), with the hardened methodology of
+bench.py: distinct pre-uploaded frames, async per-tick scalar fetches
+awaited k ticks later.
+
+Usage: python tools/bench_fleet.py [--streams 1,2,4,8] [--ticks 60]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+from collections import deque
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def bench_fleet(n_streams: int, n_ticks: int = 60, depth: int = 8,
+                dtype=jnp.bfloat16) -> float:
+    from autoware_vision_pilot_tpu.models.ego_lanes import EgoLanesNetwork
+    from autoware_vision_pilot_tpu.models.auto_steer_temporal import (
+        AutoSteerTemporalNet)
+    from autoware_vision_pilot_tpu.runtime import (
+        Config, FleetLateralPipeline)
+
+    key = jax.random.key(0)
+    lanes_vars = EgoLanesNetwork(dtype=dtype, param_dtype=dtype).init(
+        key, jnp.zeros((1, 320, 640, 3), dtype))
+    steer_vars = AutoSteerTemporalNet(dtype=dtype, param_dtype=dtype).init(
+        key, jnp.zeros((1, 80, 160, 6), dtype))
+
+    cfg = Config()
+    fleet = FleetLateralPipeline(lanes_vars, steer_vars, cfg,
+                                 n_streams=n_streams, dtype=dtype)
+    states = fleet.init_states(seed=0)
+
+    rng = np.random.default_rng(0)
+    ticks = [jnp.asarray(rng.integers(
+        0, 256, (n_streams, 720, 1280, 3), dtype=np.uint8))
+        for _ in range(n_ticks)]
+
+    # warmup/compile
+    out, states = fleet(ticks[0], states)
+    np.asarray(out["scalars"])
+
+    pending = deque()
+    t0 = time.perf_counter()
+    for t in range(n_ticks):
+        out, states = fleet(ticks[t], states)
+        out["scalars"].copy_to_host_async()
+        pending.append(out["scalars"])
+        if len(pending) > depth:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
+    dt = (time.perf_counter() - t0) / n_ticks
+    return n_streams / dt  # aggregate frames/sec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", default="1,2,4,8")
+    ap.add_argument("--ticks", type=int, default=60)
+    args = ap.parse_args()
+
+    cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    for n in [int(s) for s in args.streams.split(",")]:
+        fps = bench_fleet(n, args.ticks)
+        print(json.dumps({
+            "metric": f"fleet_lateral_{n}streams_aggregate_fps",
+            "value": round(fps, 2), "unit": "frames/sec",
+            "per_stream_fps": round(fps / n, 2)}))
+
+
+if __name__ == "__main__":
+    main()
