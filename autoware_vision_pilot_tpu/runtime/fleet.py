@@ -66,15 +66,12 @@ class FleetLateralPipeline:
         vstep = jax.vmap(step)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            data = NamedSharding(mesh, P("data"))
             self._shard = lambda t: jax.tree.map(
                 lambda x: jax.device_put(x, NamedSharding(
                     mesh, P(*(("data",) + (None,) * (x.ndim - 1))))), t)
-            self._step = jax.jit(vstep, donate_argnums=(1,))
-            del data
         else:
             self._shard = lambda t: t
-            self._step = jax.jit(vstep, donate_argnums=(1,))
+        self._step = jax.jit(vstep, donate_argnums=(1,))
 
     def init_states(self, seed: int = 0) -> LateralState:
         return self._shard(_stack_states(self.n_streams, seed))

@@ -87,6 +87,11 @@ def main():
         eng = PipelineEngine(cfg, lat, lon, of,
                              frame_source=source, sink=None)
         eng.warmup()
+        # warm the remote execution path (~100 cold executions per
+        # program — BENCH_NOTES "Remote execution warm-up"); shared
+        # across configs since the programs are the same
+        eng.run(max_frames=150, pipeline_depth=8)
+        i = 0
         t0 = time.perf_counter()
         results = eng.run(max_frames=n_frames, pipeline_depth=depth)
         dt = time.perf_counter() - t0

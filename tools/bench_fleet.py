@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 
 def bench_fleet(n_streams: int, n_ticks: int = 60, depth: int = 8,
-                dtype=jnp.bfloat16) -> float:
+                warmup_ticks: int = 150, dtype=jnp.bfloat16) -> float:
     from autoware_vision_pilot_tpu.models.ego_lanes import EgoLanesNetwork
     from autoware_vision_pilot_tpu.models.auto_steer_temporal import (
         AutoSteerTemporalNet)
@@ -49,8 +49,13 @@ def bench_fleet(n_streams: int, n_ticks: int = 60, depth: int = 8,
         0, 256, (n_streams, 720, 1280, 3), dtype=np.uint8))
         for _ in range(n_ticks)]
 
-    # warmup/compile
-    out, states = fleet(ticks[0], states)
+    # Warmup: compile AND warm the remote execution path. The axon
+    # tunnel's first ~100 executions of a fresh program run ~40x slower
+    # than steady state (measured: 158 -> 4.2 ms/frame for the lateral
+    # program, BENCH_NOTES "Remote execution warm-up"); timing inside
+    # that window measures the tunnel's warm-up, not the chip.
+    for t in range(warmup_ticks):
+        out, states = fleet(ticks[t % n_ticks], states)
     np.asarray(out["scalars"])
 
     pending = deque()

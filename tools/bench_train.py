@@ -63,6 +63,12 @@ def main():
     key = jax.random.key(1)
     state, loss = run(state, *batches[0], key)  # compile
     jax.block_until_ready(loss)
+    # warm the remote execution path (~100 cold executions per program —
+    # BENCH_NOTES "Remote execution warm-up")
+    for _ in range(120):
+        key, k = jax.random.split(key)
+        state, loss = run(state, *batches[0], k)
+    jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     losses = []
