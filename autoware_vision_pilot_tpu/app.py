@@ -75,6 +75,27 @@ def build_engine(cfg: Config, frame_source, sink=None,
                           frame_source, sink=sink)
 
 
+def compose_display_frame(res, lat_out, tracking, frame, wheel,
+                          fps: float = 0.0, crop_y: int = 420):
+    """Unified display composite (unifiedDisplayThread,
+    main.cpp:881-1005): lane overlay + tracked boxes + HUD + steering
+    wheel. `frame` is the raw BGR capture; returns the annotated copy."""
+    out = viz.draw_lane_masks(
+        frame, np.asarray(lat_out["lane_masks"], np.float32),
+        crop_y=crop_y)
+    if tracking is not None:
+        cipo_id = tracking.cipo.track_id if tracking.cipo.exists else -1
+        out = viz.draw_detections(out, tracking.tracked_objects,
+                                  cipo_track_id=cipo_id)
+    out = viz.draw_hud(out, steering_deg=res.steering_deg,
+                       set_speed=res.set_speed, fps=fps,
+                       fcw=res.fcw, aeb=res.aeb, cut_in=res.cut_in,
+                       lane_departure=res.lane_departure)
+    return viz.visualize_steering(
+        out, res.steering_deg,
+        viz.rotate_steering_wheel(wheel, res.steering_deg))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -128,25 +149,10 @@ def main(argv=None):
     frame_count = [0]
 
     def compose(res, lat_out, tracking, frame):
-        """Unified display composite (unifiedDisplayThread,
-        main.cpp:881-1005): lane overlay + tracked boxes + HUD + wheel."""
-        out = viz.draw_lane_masks(
-            frame, np.asarray(lat_out["lane_masks"], np.float32),
-            crop_y=420)
-        if tracking is not None:
-            cipo_id = tracking.cipo.track_id if tracking.cipo.exists else -1
-            out = viz.draw_detections(out, tracking.tracked_objects,
-                                      cipo_track_id=cipo_id)
         el = time.perf_counter() - t_start
-        out = viz.draw_hud(out, steering_deg=res.steering_deg,
-                           set_speed=res.set_speed,
-                           fps=(frame_count[0] / el if el > 0 else 0.0),
-                           fcw=res.fcw, aeb=res.aeb, cut_in=res.cut_in,
-                           lane_departure=res.lane_departure)
-        out = viz.visualize_steering(
-            out, res.steering_deg,
-            viz.rotate_steering_wheel(wheel, res.steering_deg))
-        return out
+        return compose_display_frame(
+            res, lat_out, tracking, frame, wheel,
+            fps=(frame_count[0] / el if el > 0 else 0.0))
 
     def sink(res, lat_out, tracking, frame=None):
         if can is not None:

@@ -131,3 +131,24 @@ def test_mass_visualize_videos(tmp_path, monkeypatch):
                                     str(tmp_path / "out"))
     assert len(done) == 2 and len(calls) == 2
     assert done[0][0] == "a.mp4" and done[0][1].endswith("a.avi")
+
+
+def test_compose_display_frame():
+    """The app's unified display composite annotates the raw frame
+    (lane overlay + HUD + steering wheel) without mutating the input."""
+    import numpy as np
+    from autoware_vision_pilot_tpu.app import compose_display_frame
+    from autoware_vision_pilot_tpu.runtime.pipeline import FrameResult
+    from autoware_vision_pilot_tpu.utils import visualization as viz
+
+    frame = np.full((720, 1280, 3), 40, np.uint8)
+    masks = np.zeros((80, 160, 3), np.float32)
+    masks[40:, 30:40, 0] = 1.0
+    res = FrameResult(frame_num=3, steering_deg=-12.5, set_speed=8.0,
+                      fcw=True, lane_departure=True)
+    wheel = viz.make_steering_wheel_image()
+    out = compose_display_frame(
+        res, {"lane_masks": masks}, None, frame, wheel, fps=42.0)
+    assert out.shape == frame.shape and out.dtype == np.uint8
+    assert (frame == 40).all()            # input untouched
+    assert (out != frame).any()           # overlay drawn
