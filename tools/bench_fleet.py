@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 
 def bench_fleet(n_streams: int, n_ticks: int = 60, depth: int = 8,
-                warmup_ticks: int = 150, dtype=jnp.bfloat16) -> float:
+                warmup_ticks: int = 150, dtype=jnp.bfloat16,
+                int8: bool = False) -> float:
     from autoware_vision_pilot_tpu.models.ego_lanes import EgoLanesNetwork
     from autoware_vision_pilot_tpu.models.auto_steer_temporal import (
         AutoSteerTemporalNet)
@@ -34,10 +35,23 @@ def bench_fleet(n_streams: int, n_ticks: int = 60, depth: int = 8,
         Config, FleetLateralPipeline)
 
     key = jax.random.key(0)
-    lanes_vars = EgoLanesNetwork(dtype=dtype, param_dtype=dtype).init(
-        key, jnp.zeros((1, 320, 640, 3), dtype))
+    lanes = EgoLanesNetwork(dtype=dtype, param_dtype=dtype)
+    lanes_vars = lanes.init(key, jnp.zeros((1, 320, 640, 3), dtype))
     steer_vars = AutoSteerTemporalNet(dtype=dtype, param_dtype=dtype).init(
         key, jnp.zeros((1, 80, 160, 6), dtype))
+    if int8:
+        # selective int8 MXU path on the EgoLanes trunk (>=128ch convs,
+        # static calibrated activation scales) — same recipe as
+        # bench.py --int8; AutoSteer (tiny) stays bf16
+        from autoware_vision_pilot_tpu.export.quantize import (
+            quantize_variables_for_int8_conv,
+            calibrate_int8_activation_scales)
+        lanes_vars = quantize_variables_for_int8_conv(lanes_vars, 128)
+        rngq = np.random.default_rng(7)
+        cal = [jnp.asarray(rngq.normal(0.0, 1.0, (1, 320, 640, 3)), dtype)
+               for _ in range(4)]
+        lanes_vars = calibrate_int8_activation_scales(
+            lanes, lanes_vars, cal)
 
     cfg = Config()
     fleet = FleetLateralPipeline(lanes_vars, steer_vars, cfg,
@@ -76,6 +90,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", default="1,2,4,8")
     ap.add_argument("--ticks", type=int, default=60)
+    ap.add_argument("--int8", action="store_true")
     args = ap.parse_args()
 
     cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
@@ -83,12 +98,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    suffix = "_int8" if args.int8 else ""
     for n in [int(s) for s in args.streams.split(",")]:
-        fps = bench_fleet(n, args.ticks)
+        fps = bench_fleet(n, args.ticks, int8=args.int8)
         print(json.dumps({
-            "metric": f"fleet_lateral_{n}streams_aggregate_fps",
+            "metric": f"fleet_lateral_{n}streams_aggregate_fps{suffix}",
             "value": round(fps, 2), "unit": "frames/sec",
-            "per_stream_fps": round(fps / n, 2)}))
+            "per_stream_fps": round(fps / n, 2)}), flush=True)
 
 
 if __name__ == "__main__":
