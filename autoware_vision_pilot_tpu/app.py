@@ -147,12 +147,18 @@ def main(argv=None):
 
     t_start = time.perf_counter()
     frame_count = [0]
+    # instantaneous HUD FPS over a 30-frame window (a cumulative average
+    # would be dominated by the first-frame compile for the whole run)
+    from collections import deque
+    frame_times = deque(maxlen=30)
 
     def compose(res, lat_out, tracking, frame):
-        el = time.perf_counter() - t_start
-        return compose_display_frame(
-            res, lat_out, tracking, frame, wheel,
-            fps=(frame_count[0] / el if el > 0 else 0.0))
+        now = time.perf_counter()
+        frame_times.append(now)
+        span = frame_times[-1] - frame_times[0]
+        fps = (len(frame_times) - 1) / span if span > 0 else 0.0
+        return compose_display_frame(res, lat_out, tracking, frame,
+                                     wheel, fps=fps)
 
     def sink(res, lat_out, tracking, frame=None):
         if can is not None:

@@ -91,29 +91,12 @@ class FleetLongitudinalPipeline:
     def __init__(self, autospeed_vars, cfg: Config, n_streams: int,
                  frame_hw=(720, 1280), input_hw=(640, 640),
                  dtype=jnp.bfloat16, max_det: int = 64, mesh=None):
-        from ..models.auto_speed import AutoSpeedNetwork
-        from ..ops.preprocess import letterbox
-        from ..ops.postprocess import nms_fixed, decode_yolo_to_original
+        from .pipeline import build_longitudinal_step
 
         self.n_streams = n_streams
-        kw = dict(dtype=dtype, param_dtype=dtype)
-        net = AutoSpeedNetwork(variant="n", num_classes=4,
-                               img_h=input_hw[0], img_w=input_hw[1], **kw)
-        conf_t = cfg.longitudinal.conf_thresh
-        iou_t = cfg.longitudinal.iou_thresh
-
-        def step(frame_u8):
-            x, scale, pad = letterbox(frame_u8[None], input_hw, frame_hw,
-                                      dtype=dtype)
-            pred = net.apply(autospeed_vars, x)[0].astype(jnp.float32)
-            boxes, scores, cls = decode_yolo_to_original(
-                pred, scale, pad, frame_hw)
-            b, s, c, v = nms_fixed(boxes, scores, cls, max_det=max_det,
-                                   iou_thresh=iou_t, conf_thresh=conf_t)
-            return jnp.concatenate(
-                [b, s[:, None], c[:, None].astype(jnp.float32),
-                 v[:, None].astype(jnp.float32)], axis=1)
-
+        step = build_longitudinal_step(
+            autospeed_vars, cfg, frame_hw=frame_hw, input_hw=input_hw,
+            dtype=dtype, max_det=max_det)
         vstep = jax.vmap(step)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -179,6 +162,11 @@ class FleetEngine:
             res.steering_deg = s["steering_filtered"]
             res.cte = s["cte"]
             res.yaw_error = s["yaw_error"]
+            # lane departure from the fetched scalars — same contract as
+            # PipelineEngine._harvest (main.cpp unified-display warning)
+            lane_w = abs(s["lane_width"])
+            res.lane_departure = s["fused_valid"] > 0.5 and \
+                lane_w > 0.1 and abs(res.cte) > 0.5 * (lane_w / 2.0)
             if tables is not None and self.object_finders is not None:
                 t = tables[i]
                 vv = t[:, 6] > 0.5
@@ -192,6 +180,8 @@ class FleetEngine:
                 if trk.cipo.exists:
                     sp.set_cipo_state(trk.cipo.velocity_ms,
                                       trk.cipo.distance_m)
+                    res.cipo_distance = trk.cipo.distance_m
+                    res.cipo_velocity = trk.cipo.velocity_ms
                 res.set_speed = sp.calc_ideal_driving_speed()
                 if trk.cut_in_detected or trk.kalman_reset:
                     self.pids[i].reset()
@@ -199,6 +189,8 @@ class FleetEngine:
                     sp.ego_speed, res.set_speed)
                 res.fcw = sp.get_fcw_state()
                 res.aeb = sp.get_aeb_state()
+                res.cut_in = trk.cut_in_detected
+                res.kalman_reset = trk.kalman_reset
                 res.n_tracks = len(trk.tracked_objects)
             results.append(res)
         if self.sink is not None:

@@ -227,32 +227,44 @@ class LateralPipeline:
         return self._step(frame_u8, state)
 
 
+def build_longitudinal_step(autospeed_vars, cfg: Config,
+                            frame_hw=(720, 1280), input_hw=(640, 640),
+                            dtype=jnp.bfloat16, max_det: int = 64):
+    """Build the per-frame AutoSpeed detection step: letterbox -> net ->
+    decode -> fixed-shape NMS -> ONE packed (max_det, 7) table
+    [x1, y1, x2, y2, score, class_id, valid] so the host fetches results
+    in a single round-trip. Jitted by `LongitudinalPipeline`, vmapped by
+    the fleet serving mode."""
+    kw = dict(dtype=dtype, param_dtype=dtype)
+    net = AutoSpeedNetwork(variant="n", num_classes=4,
+                           img_h=input_hw[0], img_w=input_hw[1], **kw)
+    conf_t = cfg.longitudinal.conf_thresh
+    iou_t = cfg.longitudinal.iou_thresh
+
+    def step(frame_u8):
+        x, scale, pad = letterbox(frame_u8[None], input_hw, frame_hw,
+                                  dtype=dtype)
+        pred = net.apply(autospeed_vars, x)[0].astype(jnp.float32)
+        boxes, scores, cls = decode_yolo_to_original(
+            pred, scale, pad, frame_hw)
+        b, s, c, v = nms_fixed(boxes, scores, cls, max_det=max_det,
+                               iou_thresh=iou_t, conf_thresh=conf_t)
+        return jnp.concatenate(
+            [b, s[:, None], c[:, None].astype(jnp.float32),
+             v[:, None].astype(jnp.float32)], axis=1)
+
+    return step
+
+
 class LongitudinalPipeline:
     """AutoSpeed detection + on-device NMS; tracking/planning on host."""
 
     def __init__(self, autospeed_vars, cfg: Config, frame_hw=(720, 1280),
                  input_hw=(640, 640), dtype=jnp.bfloat16, max_det: int = 64):
         self.cfg = cfg
-        kw = dict(dtype=dtype, param_dtype=dtype)
-        net = AutoSpeedNetwork(variant="n", num_classes=4,
-                               img_h=input_hw[0], img_w=input_hw[1], **kw)
-        conf_t = cfg.longitudinal.conf_thresh
-        iou_t = cfg.longitudinal.iou_thresh
-
-        def step(frame_u8):
-            x, scale, pad = letterbox(frame_u8[None], input_hw, frame_hw,
-                                      dtype=dtype)
-            pred = net.apply(autospeed_vars, x)[0].astype(jnp.float32)
-            boxes, scores, cls = decode_yolo_to_original(
-                pred, scale, pad, frame_hw)
-            b, s, c, v = nms_fixed(boxes, scores, cls, max_det=max_det,
-                                   iou_thresh=iou_t, conf_thresh=conf_t)
-            # pack into ONE (max_det, 7) array: single host fetch
-            return jnp.concatenate(
-                [b, s[:, None], c[:, None].astype(jnp.float32),
-                 v[:, None].astype(jnp.float32)], axis=1)
-
-        self._step = jax.jit(step)
+        self._step = jax.jit(build_longitudinal_step(
+            autospeed_vars, cfg, frame_hw=frame_hw, input_hw=input_hw,
+            dtype=dtype, max_det=max_det))
 
     def __call__(self, frame_u8):
         return self._step(frame_u8)
@@ -295,13 +307,19 @@ class PipelineEngine:
         self.frame_source = frame_source
         self.sink = sink
         # sinks may take (res, lat_out, tracking) or additionally the
-        # raw frame as a 4th parameter (for display/video composition)
+        # raw frame as a 4th POSITIONAL parameter (display/video
+        # composition); *args sinks receive the frame, **kwargs-only
+        # extras do not count as a positional slot
         self._sink_wants_frame = False
         if sink is not None:
             import inspect
             try:
-                n_params = len(inspect.signature(sink).parameters)
-                self._sink_wants_frame = n_params >= 4
+                params = inspect.signature(sink).parameters.values()
+                n_pos = sum(p.kind in (p.POSITIONAL_ONLY,
+                                       p.POSITIONAL_OR_KEYWORD)
+                            for p in params)
+                has_var = any(p.kind == p.VAR_POSITIONAL for p in params)
+                self._sink_wants_frame = n_pos >= 4 or has_var
             except (TypeError, ValueError):
                 pass
         self.buffer = DoubleFrameBuffer()

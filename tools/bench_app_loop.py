@@ -55,15 +55,43 @@ def main():
     lat = LateralPipeline(lanes_v, steer_v, cfg, dtype=dtype)
     lon = LongitudinalPipeline(speed_v, cfg, dtype=dtype)
 
-    # DISTINCT frames (the tunnel memoizes identical executions); two
-    # source modes: host frames (upload per frame — through this tunnel
-    # the 2.7 MB/51 MB/s upload bounds the loop at ~19 FPS, measuring the
-    # link) and pre-uploaded (host, device) pairs (the local-PCIe-host
-    # analog: a capture prefetcher double-buffering uploads).
-    n_distinct = 64
-    host_frames = [np.random.default_rng(i).integers(
-        0, 255, (720, 1280, 3), dtype=np.uint8) for i in range(n_distinct)]
-    dev_frames = [jnp.asarray(f) for f in host_frames]
+    # Measurement validity (BENCH_NOTES items 1-2 + "Remote execution
+    # warm-up"): the tunnel memoizes identical (program, args)
+    # executions, and the stateless longitudinal program would replay
+    # from cache if any timed frame were ever executed before. So every
+    # timed run gets a FRESH pool of distinct frames (never seen by any
+    # prior run), and the one-time execution warm-up uses its own
+    # dedicated pool. The lateral program's carried state makes its
+    # executions unique regardless.
+    pool_seed = [0]
+
+    def make_pool(n):
+        rng = np.random.default_rng(1000 + pool_seed[0])
+        pool_seed[0] += 1
+        host = [rng.integers(0, 255, (720, 1280, 3), dtype=np.uint8)
+                for _ in range(n)]
+        return host, [jnp.asarray(f) for f in host]
+
+    def make_source(host, dev, mode):
+        i = [0]
+
+        def source():
+            i[0] += 1
+            j = i[0] % len(host)
+            if mode == "preuploaded":
+                return host[j], dev[j]
+            return host[j]
+        return source
+
+    # one-time execution warm-up (programs are shared by all configs)
+    wh, wd = make_pool(150)
+    warm_eng = PipelineEngine(cfg, lat, lon,
+                              ObjectFinder(np.eye(3), 1280, 720),
+                              frame_source=make_source(wh, wd,
+                                                       "preuploaded"))
+    warm_eng.warmup()
+    warm_eng.run(max_frames=150, pipeline_depth=8)
+    del wh, wd
 
     configs = [
         ("upload   +tracking", "upload", True, (1, 8)),
@@ -73,25 +101,12 @@ def main():
     for label, mode, track, depths in configs:
       print(f"-- {label}")
       for depth in depths:
-        i = 0
-
-        def source():
-            nonlocal i
-            i += 1
-            j = i % n_distinct
-            if mode == "preuploaded":
-                return host_frames[j], dev_frames[j]
-            return host_frames[j]
-
+        host_frames, dev_frames = make_pool(n_frames + 1)
         of = ObjectFinder(np.eye(3), 1280, 720) if track else None
         eng = PipelineEngine(cfg, lat, lon, of,
-                             frame_source=source, sink=None)
-        eng.warmup()
-        # warm the remote execution path (~100 cold executions per
-        # program — BENCH_NOTES "Remote execution warm-up"); shared
-        # across configs since the programs are the same
-        eng.run(max_frames=150, pipeline_depth=8)
-        i = 0
+                             frame_source=make_source(
+                                 host_frames, dev_frames, mode),
+                             sink=None)
         t0 = time.perf_counter()
         results = eng.run(max_frames=n_frames, pipeline_depth=depth)
         dt = time.perf_counter() - t0

@@ -57,7 +57,9 @@ def main():
     n_train, n_val = 48, 8
 
     def sample(i):
-        img, lab = make_scene(rng, (320, 640))
+        # per-index seed: the train/val split is pinned by index, not by
+        # construction order
+        img, lab = make_scene(np.random.default_rng(i), (320, 640))
         ids, _weights = decode_scene_seg_mask(lab)
         x = img.astype(np.float32) / 255.0
         return x, ids.astype(np.int32)
