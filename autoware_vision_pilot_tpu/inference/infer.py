@@ -132,13 +132,19 @@ class EgoLanesInfer(_Base):
             x = preprocess_imagenet(frame[None], self.input_hw,
                                     dtype=self.dtype)
             logits = self.model.apply(self.variables, x).astype(jnp.float32)
-            return threshold_channels(logits, self.threshold)[0]
+            return logits[0], threshold_channels(logits, self.threshold)[0]
 
         self._fwd = jax.jit(fwd)
 
     def inference(self, frame_bgr_u8: np.ndarray) -> np.ndarray:
         """-> (H/4, W/4, 3) float binary masks [ego_left, ego_right, other]."""
-        return np.asarray(self._fwd(jnp.asarray(frame_bgr_u8)))
+        return np.asarray(self._fwd(jnp.asarray(frame_bgr_u8))[1])
+
+    def inference_raw(self, frame_bgr_u8: np.ndarray) -> np.ndarray:
+        """-> (H/4, W/4, 3) RAW pre-threshold logits — the tensor the
+        temporal AutoSteer consumes (main.cpp:516-524 copies
+        getRawTensorData(), NOT the thresholded masks)."""
+        return np.asarray(self._fwd(jnp.asarray(frame_bgr_u8))[0])
 
 
 class AutoSpeedInfer:

@@ -410,3 +410,68 @@ def test_launch_pipeline_from_yaml_params():
     t.publish("/sensors/video/image_raw",
               np.zeros((720, 1280, 3), np.uint8))
     assert len(masks) == 1 and len(masks2) == 1
+
+
+# Zenoh transport: exercised against a fake zenoh module (the real client
+# is not installed here) — same pattern as the fake-rclpy tests above.
+def test_zenoh_transport_pub_sub(monkeypatch):
+    import sys
+    import types
+
+    zenoh = types.ModuleType("zenoh")
+
+    class _Sample:
+        def __init__(self, payload):
+            self.payload = payload
+
+    class _Session:
+        def __init__(self):
+            self.subs = {}
+            self.closed = False
+
+        def put(self, key, value):
+            for cb in self.subs.get(key, []):
+                cb(_Sample(value))
+
+        def declare_subscriber(self, key, cb):
+            self.subs.setdefault(key, []).append(cb)
+            return ("sub", key)
+
+        def close(self):
+            self.closed = True
+
+    zenoh.Config = lambda: {}
+    zenoh.open = lambda cfg: _Session()
+    monkeypatch.setitem(sys.modules, "zenoh", zenoh)
+
+    from autoware_vision_pilot_tpu.middleware.transport import (
+        ZenohTransport, make_transport)
+
+    t = make_transport("zenoh")
+    assert isinstance(t, ZenohTransport)
+    got = []
+    t.subscribe("vp/frames", got.append)
+    t.publish("vp/frames", b"\x01\x02\x03")
+    t.publish("vp/other", b"zzz")          # different key: not delivered
+    assert got == [b"\x01\x02\x03"]
+    t.close()
+    assert t._session.closed
+
+
+def test_zenoh_transport_missing_module(monkeypatch):
+    import builtins
+    import sys
+
+    monkeypatch.delitem(sys.modules, "zenoh", raising=False)
+    real_import = builtins.__import__
+
+    def no_zenoh(name, *a, **kw):
+        if name == "zenoh":
+            raise ImportError("no zenoh")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_zenoh)
+    from autoware_vision_pilot_tpu.middleware.transport import make_transport
+    import pytest as _pytest
+    with _pytest.raises(ImportError):
+        make_transport("zenoh")

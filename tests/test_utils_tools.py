@@ -137,3 +137,27 @@ def test_audit_session_back_undoes_last_decision(tmp_path):
     s.back()
     s.back()  # at index 0: no-op
     assert s.current_index == 0 and s.accepted == []
+
+
+def test_debug_autosteer_harness(tmp_path, capsys):
+    """N26 harness smoke: runs EgoLanes raw logits -> temporal AutoSteer
+    over a tiny synthetic video, printing stats and frame diffs."""
+    import sys
+    import pathlib
+    import cv2
+    import numpy as np
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    import debug_autosteer
+
+    vid = tmp_path / "clip.avi"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"MJPG"),
+                        10.0, (640, 320))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (320, 640, 3), dtype=np.uint8))
+    w.release()
+
+    assert debug_autosteer.main(["--video", str(vid), "--frames", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "raw logits" in out and "steering" in out

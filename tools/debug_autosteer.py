@@ -37,20 +37,22 @@ def main(argv=None):
     steer = AutoSteerInfer(checkpoint=a.autosteer_ckpt)
 
     cap = cv2.VideoCapture(a.video)
-    prev_masks = None
+    # AutoSteer consumes the RAW pre-threshold EgoLanes logits
+    # (main.cpp:516-524 / test_autosteer.cpp compares raw tensors) —
+    # feeding thresholded masks gives wrong steering angles.
     prev_raw = None
     for i in range(a.frames):
         ok, frame = cap.read()
         if not ok:
             break
-        masks = lanes.inference(frame)
-        tensor_stats(f"frame {i} egolanes masks", masks)
-        if prev_masks is not None:
-            d = compare_tensors(prev_masks, masks,
-                                f"egolanes t-1 vs t (frame {i})")
-            angle = steer.inference(prev_masks, masks)
+        raw = lanes.inference_raw(frame)
+        tensor_stats(f"frame {i} egolanes raw logits", raw)
+        if prev_raw is not None:
+            compare_tensors(prev_raw, raw,
+                            f"egolanes t-1 vs t (frame {i})")
+            angle = steer.inference(prev_raw, raw)
             print(f"  -> steering {angle:+.1f} deg")
-        prev_masks = masks
+        prev_raw = raw
     cap.release()
     return 0
 
