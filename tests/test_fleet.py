@@ -158,6 +158,12 @@ def test_fleet_engine_runs(lateral_vars):
         for r in per_tick:
             assert np.isfinite(r.steering_deg)
             assert np.isfinite(r.set_speed)
+            # safety signals populated (same contract as PipelineEngine)
+            assert isinstance(r.cut_in, (bool, np.bool_))
+            assert isinstance(r.kalman_reset, (bool, np.bool_))
+            assert isinstance(r.lane_departure, (bool, np.bool_))
+            if r.n_tracks > 0 and r.cipo_distance >= 0:
+                assert np.isfinite(r.cipo_velocity)
 
 
 def test_fleet_longitudinal_matches_single(lateral_vars):
