@@ -167,23 +167,42 @@ def bench_clip(batch: int = 10, clip_len: int = 100):
     def domain_step(x):
         return domain.apply(dv, x).astype(jnp.float32) > 0
 
+    # Measurement validity: every execution's window is DISTINCT (sliding
+    # by one frame through a long clip — repeating the same batch windows
+    # lets the tunnel serve memoized replays), and ~150 executions warm
+    # the remote execution path before timing (BENCH_NOTES "Remote
+    # execution warm-up").
+    n_warm, n_timed = 150, 50
     rng = np.random.default_rng(0)
-    clip = jnp.asarray(rng.integers(0, 256, (clip_len, 720, 1280, 3),
-                                    dtype=np.uint8))
-    def run_clip():
-        outs = []
-        for i in range(0, clip_len, batch):
-            masks, x = lanes_step(clip[i:i + batch])
-            outs.append(domain_step(x))
-        jax.block_until_ready(outs[-1])
+    clip = jnp.asarray(rng.integers(
+        0, 256, (n_warm + n_timed + batch, 720, 1280, 3), dtype=np.uint8))
 
-    run_clip()  # compile
+    def exec_window(j):
+        masks, x = lanes_step(
+            jax.lax.dynamic_slice_in_dim(clip, j, batch, axis=0))
+        return domain_step(x)
+
+    from collections import deque
+
+    def drive(j0, n, depth=8):
+        pending = deque()
+        for j in range(j0, j0 + n):
+            out = exec_window(j)
+            out.copy_to_host_async()
+            pending.append(out)
+            if len(pending) > depth:
+                np.asarray(pending.popleft())
+        while pending:
+            np.asarray(pending.popleft())
+
+    out = exec_window(0)
+    np.asarray(out)          # compile + force
+    drive(0, n_warm)         # warm the execution path, results fetched
+
     t0 = time.perf_counter()
-    n_rep = 5
-    for _ in range(n_rep):
-        run_clip()
-    dt = (time.perf_counter() - t0) / n_rep
-    fps = clip_len / dt
+    drive(n_warm, n_timed)
+    dt = time.perf_counter() - t0
+    fps = batch * n_timed / dt
     print(json.dumps({
         "metric": "egolanes+domainseg_clip100_fps_per_chip",
         "value": round(fps, 2), "unit": "frames/sec",

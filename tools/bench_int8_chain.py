@@ -82,19 +82,26 @@ def chain_int8_i8(xq, wqs, wscales, xscales, yscales):
     return h.astype(jnp.float32) * yscales[-1]
 
 
-def timeit(fn, xs, *args, iters=200, warmup=20):
-    """Measurement contract (BENCH_NOTES.md "Measurement validity"):
-    rotate DISTINCT inputs (the tunnel memoizes identical executions) and
-    force materialization with an async-copied per-iter summary awaited a
-    window later (block_until_ready alone does not prove execution)."""
+def timeit(fn, xs, *args, iters=200, warmup=150):
+    """Measurement contract (BENCH_NOTES.md "Measurement validity" +
+    "Remote execution warm-up"): EVERY call gets a unique per-iteration
+    salt argument that feeds the output, so no (program, args) pair ever
+    repeats and the tunnel cannot serve memoized replays (cycling a small
+    input pool repeats pairs after len(xs) iterations — the round-2 bug
+    this replaced); ~150 warm executions precede timing; materialization
+    is forced with an async-copied per-iter summary awaited a window
+    later (block_until_ready alone does not prove execution)."""
     from collections import deque
+    salt = 0
     for i in range(warmup):
-        out = fn(xs[i % len(xs)], *args)
+        out = fn(xs[i % len(xs)], jnp.float32(salt), *args)
+        salt += 1
     np.asarray(out)
     t0 = time.perf_counter()
     pending = deque()
     for i in range(iters):
-        out = fn(xs[i % len(xs)], *args)
+        out = fn(xs[i % len(xs)], jnp.float32(salt), *args)
+        salt += 1
         out.copy_to_host_async()
         pending.append(out)
         if len(pending) > 16:
@@ -131,19 +138,24 @@ def main():
         yscales = [jnp.float32(0.05)] * K_LAYERS
 
         # each variant returns a scalar summary so the per-iter fetch is
-        # tiny; the reduction cost is negligible vs K_LAYERS 3x3 convs
-        f_bf16 = jax.jit(lambda x, w=tuple(ws):
-                         jnp.sum(chain_bf16(x, w).astype(jnp.float32)))
-        f_i8f32 = jax.jit(lambda x, w=tuple(wqs), s=tuple(wscales),
+        # tiny; the reduction cost is negligible vs K_LAYERS 3x3 convs.
+        # `salt` is the uniqueness argument timeit passes — it must feed
+        # the output so the executable cannot drop it.
+        f_bf16 = jax.jit(lambda x, salt, w=tuple(ws):
+                         jnp.sum(chain_bf16(x, w).astype(jnp.float32))
+                         + salt * 1e-12)
+        f_i8f32 = jax.jit(lambda x, salt, w=tuple(wqs), s=tuple(wscales),
                           xs=tuple(xscales):
                           jnp.sum(chain_int8_f32(
-                              x.astype(jnp.float32), w, s, xs)))
+                              x.astype(jnp.float32), w, s, xs))
+                          + salt * 1e-12)
         xq16 = [jnp.clip(jnp.round(
             x.astype(jnp.float32) / 0.05), -127, 127).astype(jnp.int8)
             for x in xs16]
-        f_i8i8 = jax.jit(lambda xq, w=tuple(wqs), s=tuple(wscales),
+        f_i8i8 = jax.jit(lambda xq, salt, w=tuple(wqs), s=tuple(wscales),
                          xs=tuple(xscales), ys=tuple(yscales):
-                         jnp.sum(chain_int8_i8(xq, w, s, xs, ys)))
+                         jnp.sum(chain_int8_i8(xq, w, s, xs, ys))
+                         + salt * 1e-12)
 
         t1 = timeit(f_bf16, xs16)
         t2 = timeit(f_i8f32, xs16)

@@ -92,9 +92,17 @@ def build(variant: str, batch: int = 1):
     return pipeline
 
 
-def measure(pipeline, frames, batch: int = 1):
+def measure(pipeline, frames, batch: int = 1, warm_frames=None):
     out = pipeline(frames[0])
     np.asarray(out[2])
+    # warm the remote execution path on a DISJOINT pool (~150 cold
+    # executions per program — BENCH_NOTES "Remote execution warm-up");
+    # warm frames must not reappear in the timed loop or the tunnel
+    # serves memoized replays
+    for f in (warm_frames or []):
+        out = pipeline(f)
+    if warm_frames:
+        np.asarray(out[2])
     t0 = time.perf_counter()
     pending = deque()
     for f in frames:
@@ -123,10 +131,13 @@ def main():
         frames = [jnp.asarray(rng.integers(
             0, 256, (batch, 720, 1280, 3), dtype=np.uint8))
             for _ in range(max(N // batch, 24))]
+        warm = [jnp.asarray(rng.integers(
+            0, 256, (batch, 720, 1280, 3), dtype=np.uint8))
+            for _ in range(max(150 // batch, 16))]
         p_bf16 = build("bf16", batch)
         p_int8 = build("int8", batch)
-        fps_bf16 = measure(p_bf16, frames, batch)
-        fps_int8 = measure(p_int8, frames, batch)
+        fps_bf16 = measure(p_bf16, frames, batch, warm_frames=warm)
+        fps_int8 = measure(p_int8, frames, batch, warm_frames=warm)
         ma, la = agreement(p_bf16, p_int8, frames[0])
         print(f"[{tag} B={batch} min_ch={MIN_CH}] "
               f"bf16 {fps_bf16:7.1f} FPS | int8 {fps_int8:7.1f} FPS "
