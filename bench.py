@@ -92,7 +92,7 @@ def build_pipeline(int8: bool = False):
     return pipeline
 
 
-def build_pipeline_fused():
+def build_pipeline_fused(int8: bool = False):
     """The reference configuration for non-tunneled deployments: ALL of
     preprocess + SceneSeg/Scene3D fused trunk + EgoLanes + postprocess in
     ONE XLA program (one dispatch per frame). Round 1 could not compile
@@ -114,6 +114,9 @@ def build_pipeline_fused():
     x0 = jnp.zeros((1, 320, 640, 3), jnp.bfloat16)
     stack_v = stack.init(key, x0)
     lanes_v = lanes.init(key, x0)
+    if int8:
+        stack_v = _quantize_int8(stack, stack_v, x0)
+        lanes_v = _quantize_int8(lanes, lanes_v, x0)
 
     @jax.jit
     def fused_step(stack_v, lanes_v, frame_u8):
@@ -216,7 +219,7 @@ def main(fused: bool = False, int8: bool = False):
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    pipeline = (build_pipeline_fused() if fused
+    pipeline = (build_pipeline_fused(int8=int8) if fused
                 else build_pipeline(int8=int8))
     rng = np.random.default_rng(0)
     # Measurement contract (see BENCH_NOTES.md "Measurement validity"):
