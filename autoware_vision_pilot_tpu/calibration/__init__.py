@@ -6,6 +6,7 @@ from .camera_pose import (
 )
 from .homography import (
     compute_homography,
+    compute_homography_ransac,
     homography_reprojection_error,
     save_homography_yaml,
     load_homography_yaml,

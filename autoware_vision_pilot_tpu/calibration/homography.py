@@ -43,6 +43,62 @@ def compute_homography(image_pts: np.ndarray,
     return H / H[2, 2]
 
 
+def compute_homography_ransac(image_pts: np.ndarray,
+                              world_pts: np.ndarray,
+                              threshold: float = 5.0,
+                              max_iters: int = 2000,
+                              confidence: float = 0.995,
+                              seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """RANSAC-robust homography, the analog of the reference's
+    ``cv2.findHomography(src, dst, cv2.RANSAC, 5.0)``
+    (middleware_recipes/Calibration/compute_homography.py:102): one bad
+    LiDAR/keypoint correspondence must not ruin H.
+
+    Minimal 4-point DLT hypotheses; a point is an inlier when its
+    transfer error ``||dst - H src||`` in destination units is below
+    `threshold` (OpenCV's convention). Adaptive iteration count from the
+    running inlier ratio, then a final DLT refit on all inliers.
+
+    Returns (H, inlier_mask[bool (N,)]).
+    """
+    src = np.asarray(image_pts, np.float64)
+    dst = np.asarray(world_pts, np.float64)
+    n = len(src)
+    if n < 4:
+        raise ValueError("need at least 4 correspondences")
+    rng = np.random.default_rng(seed)
+
+    best_mask = None
+    best_count = -1
+    best_err = np.inf
+    iters = max_iters
+    it = 0
+    while it < iters:
+        it += 1
+        idx = rng.choice(n, 4, replace=False)
+        try:
+            H = compute_homography(src[idx], dst[idx])
+        except np.linalg.LinAlgError:
+            continue
+        if not np.all(np.isfinite(H)):
+            continue
+        err = np.linalg.norm(apply_homography(H, src) - dst, axis=1)
+        mask = err < threshold
+        count = int(mask.sum())
+        mean_err = float(err[mask].mean()) if count else np.inf
+        if count > best_count or (count == best_count and mean_err < best_err):
+            best_count, best_mask, best_err = count, mask, mean_err
+            w = max(count / n, 1e-9)  # inlier ratio -> adaptive stop
+            denom = np.log(max(1.0 - w ** 4, 1e-12))
+            iters = min(max_iters,
+                        int(np.ceil(np.log(1.0 - confidence) / denom)))
+    if best_mask is None or best_count < 4:
+        raise ValueError("RANSAC failed: no non-degenerate hypothesis "
+                         "reached 4 inliers")
+    H = compute_homography(src[best_mask], dst[best_mask])
+    return H, best_mask
+
+
 def apply_homography(H: np.ndarray, pts: np.ndarray) -> np.ndarray:
     p = np.c_[np.asarray(pts, np.float64), np.ones(len(pts))] @ H.T
     return p[:, :2] / p[:, 2:]

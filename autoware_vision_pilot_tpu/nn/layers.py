@@ -129,6 +129,7 @@ class ConvTranspose2d(fnn.Module):
     @fnn.compact
     def __call__(self, x):
         kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
         cin = x.shape[-1]
         w = self.param(
             "wt",
@@ -137,12 +138,28 @@ class ConvTranspose2d(fnn.Module):
             self.param_dtype,
         )
         dtype = self.dtype or x.dtype
+        # Non-overlapping case (k == s, the reference's upsample blocks):
+        # each input pixel owns a disjoint kh x kw output block, so the
+        # transposed conv is EXACTLY one contraction over cin followed by
+        # depth-to-space (verified == lax.conv_transpose to 0 ulp for the
+        # float path). One dot_general instead of a strided conv: it runs
+        # on the MXU as a plain matmul (the decoder-tail upsamples are the
+        # HBM/layout hot spot, docs/SCALING.md) and its gradient is two
+        # matmuls — XLA:CPU compiled each conv_transpose grad for ~20 s,
+        # which is what blew the multichip dryrun budget in rounds 1-2.
+        nonoverlap = (kh, kw) == (sh, sw)
         ct_kw = dict(
-            strides=_pair(self.stride),
+            strides=(sh, sw),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             transpose_kernel=True,
         )
+
+        def _d2s(y):
+            # (B, h, w, kh, kw, O) -> (B, h*kh, w*kw, O)
+            b, h, wd = y.shape[0], y.shape[1], y.shape[2]
+            y = y.transpose(0, 1, 3, 2, 4, 5)
+            return y.reshape(b, h * kh, wd * kw, self.features)
         if w.dtype == jnp.int8:
             # int8 MXU path, mirroring Conv2d: per-output-channel int8
             # weights ('wt_scale') + static ('x_scale') or dynamic
@@ -158,13 +175,22 @@ class ConvTranspose2d(fnn.Module):
                 self.sow("intermediates", "act_amax", amax)
                 sx = amax / 127.0
             xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-            y32 = lax.conv_transpose(
-                xq, w, preferred_element_type=jnp.int32, **ct_kw)
+            if nonoverlap:
+                y32 = _d2s(jnp.einsum("bhwc,ijoc->bhwijo", xq, w,
+                                      preferred_element_type=jnp.int32))
+            else:
+                y32 = lax.conv_transpose(
+                    xq, w, preferred_element_type=jnp.int32, **ct_kw)
             y = (y32.astype(jnp.float32) * (sx * w_scale)).astype(dtype)
         else:
-            y = lax.conv_transpose(
-                x.astype(dtype), w.astype(dtype),
-                precision=self.precision, **ct_kw)
+            if nonoverlap:
+                y = _d2s(jnp.einsum("bhwc,ijoc->bhwijo", x.astype(dtype),
+                                    w.astype(dtype),
+                                    precision=self.precision))
+            else:
+                y = lax.conv_transpose(
+                    x.astype(dtype), w.astype(dtype),
+                    precision=self.precision, **ct_kw)
         if self.use_bias:
             b = self.param("b", fnn.initializers.zeros, (self.features,),
                            self.param_dtype)

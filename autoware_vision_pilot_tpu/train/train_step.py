@@ -62,13 +62,19 @@ def create_seg_train_state(model, input_shape, rng, tx, ema: bool = False):
 def make_seg_train_step(model, tx, loss_fn: Callable,
                         mesh=None, microbatches: int = 1,
                         ema_decay: Optional[float] = None,
-                        donate: bool = True):
+                        donate: bool = True, scan_unroll: int = 1):
     """Build a jitted SPMD train step.
 
     loss_fn(logits, targets) -> scalar.
     Batch arrays are expected sharded over mesh axis 'data' on dim 0.
     With microbatches>1 the leading batch dim is split and scanned with
     gradient accumulation (mean over microbatches).
+
+    scan_unroll: lax.scan unroll factor for the microbatch loop. On TPU
+    keep 1 (rolled loop, smallest program). The multichip dryrun passes
+    scan_unroll=microbatches: XLA:CPU compiles a while-loop whose body
+    carries the full gradient pytree pathologically slowly (measured
+    >450 s for a body that compiles in 64 s fully unrolled).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -100,7 +106,7 @@ def make_seg_train_step(model, tx, loss_fn: Callable,
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
         (grads, new_bs), losses = jax.lax.scan(
             micro_grads, (zero_grads, state.batch_stats),
-            (mb_images, mb_targets, rngs))
+            (mb_images, mb_targets, rngs), unroll=scan_unroll)
         grads = jax.tree.map(lambda g: g / mb, grads)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

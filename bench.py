@@ -213,11 +213,10 @@ def bench_clip(batch: int = 10, clip_len: int = 100):
 
 
 def main(fused: bool = False, int8: bool = False):
-    # persistent compilation cache (analog of the TRT engine cache)
-    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
-    cache_dir.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persistent compilation cache (analog of the TRT engine cache),
+    # keyed per machine+backend so foreign-host entries can't poison it
+    from autoware_vision_pilot_tpu.core.cache import setup_compilation_cache
+    setup_compilation_cache(pathlib.Path(__file__).parent / ".jax_cache")
 
     pipeline = (build_pipeline_fused(int8=int8) if fused
                 else build_pipeline(int8=int8))
@@ -275,6 +274,24 @@ def main(fused: bool = False, int8: bool = False):
     dt = (time.perf_counter() - t0) / N
     fps = 1.0 / dt
 
+    # Per-frame latency at pipeline depth 1 (dispatch -> result on host):
+    # BASELINE.json's metric is "frames/sec/chip ...; p50 per-frame
+    # latency". Fresh frames (never executed -> no memoized replays); each
+    # iteration blocks on its own result, so this is the depth-1
+    # latency-optimized mode, not the depth-16 throughput mode timed above.
+    lat_frames = [jnp.asarray(rng.integers(0, 256, (720, 1280, 3),
+                                           dtype=np.uint8))
+                  for _ in range(60)]
+    lat_ms = []
+    for f in lat_frames:
+        t0 = time.perf_counter()
+        out = pipeline(f)
+        np.asarray(out[3])
+        lat_ms.append((time.perf_counter() - t0) * 1e3)
+    lat_ms.sort()
+    p50 = lat_ms[len(lat_ms) // 2]
+    p99 = lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]
+
     metric = "scene_seg+scene3d+ego_lanes_pipeline_fps_per_chip"
     if fused:
         metric += "_fused1prog"
@@ -285,14 +302,16 @@ def main(fused: bool = False, int8: bool = False):
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 3),
+        "latency_ms_p50": round(p50, 2),
+        "latency_ms_p99": round(p99, 2),
     }))
 
 
 if __name__ == "__main__":
     if "--clip" in sys.argv:
-        cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
-        cache_dir.mkdir(exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        from autoware_vision_pilot_tpu.core.cache import (
+            setup_compilation_cache)
+        setup_compilation_cache(pathlib.Path(__file__).parent / ".jax_cache")
         bench_clip()
     else:
         main(fused="--fused" in sys.argv, int8="--int8" in sys.argv)

@@ -20,9 +20,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import numpy as np
 import jax
 
-cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
-jax.config.update("jax_compilation_cache_dir", str(cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from autoware_vision_pilot_tpu.core.cache import setup_compilation_cache
+setup_compilation_cache(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
 
 import jax.numpy as jnp
 

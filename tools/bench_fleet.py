@@ -93,10 +93,8 @@ def main():
     ap.add_argument("--int8", action="store_true")
     args = ap.parse_args()
 
-    cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
-    cache.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from autoware_vision_pilot_tpu.core.cache import setup_compilation_cache
+    setup_compilation_cache(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
 
     suffix = "_int8" if args.int8 else ""
     for n in [int(s) for s in args.streams.split(",")]:

@@ -29,9 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
-jax.config.update("jax_compilation_cache_dir", str(cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from autoware_vision_pilot_tpu.core.cache import setup_compilation_cache
+setup_compilation_cache(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
 
 import os
 # Defaults chosen so kernel time dominates the ~2 ms per-execution

@@ -29,9 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
-jax.config.update("jax_compilation_cache_dir", str(cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from autoware_vision_pilot_tpu.core.cache import setup_compilation_cache
+setup_compilation_cache(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
 
 MIN_CH = int(os.environ.get("MIN_CH", "128"))
 N = int(os.environ.get("N_FRAMES", "120"))

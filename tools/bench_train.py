@@ -30,10 +30,8 @@ def main():
     ap.add_argument("--microbatches", type=int, default=1)
     args = ap.parse_args()
 
-    cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
-    cache.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from autoware_vision_pilot_tpu.core.cache import setup_compilation_cache
+    setup_compilation_cache(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
 
     import optax
     from autoware_vision_pilot_tpu.core.mesh import make_mesh

@@ -34,10 +34,8 @@ def main():
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    cache = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
-    cache.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from autoware_vision_pilot_tpu.core.cache import setup_compilation_cache
+    setup_compilation_cache(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
 
     import optax
     from gen_synthetic_dataset import make_scene
