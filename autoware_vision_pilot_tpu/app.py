@@ -134,6 +134,14 @@ def main(argv=None):
     csv_log = CsvFlightRecorder(cfg.output.csv_log_path) \
         if cfg.output.csv_log_path else None
 
+    # Rerun telemetry (graceful: no SDK -> no-op), main.cpp:46-48 +
+    # rerun.* config keys
+    rerun_log = None
+    if cfg.rerun.enabled:
+        from .utils.rerun_logger import RerunLogger
+        rerun_log = RerunLogger(spawn_viewer=cfg.rerun.spawn_viewer,
+                                save_path=cfg.rerun.save_path or None)
+
     writer = None
     if cfg.output.save_video:
         import cv2
@@ -206,9 +214,32 @@ def main(argv=None):
                 s.ego_speed_ms = float("nan")
                 s.can_valid = False
             shm.publish(s)
+        composite = None
         if frame is not None and (writer is not None or
-                                  cfg.output.enable_viz):
+                                  cfg.output.enable_viz or
+                                  (rerun_log and rerun_log.enabled)):
             composite = compose(res, lat_out, tracking, frame)
+        if rerun_log is not None and rerun_log.enabled:
+            from .runtime.pipeline import SCALAR_FIELDS
+            masks = np.asarray(lat_out["lane_masks"], np.float32)
+            sc = dict(zip(SCALAR_FIELDS, np.asarray(lat_out["scalars"])))
+            rerun_log.log_data(
+                res.frame_num, frame_bgr=frame,
+                ego_left=masks[..., 0], ego_right=masks[..., 1],
+                other_lanes=masks[..., 2],
+                stacked_view_bgr=composite,
+                can_steering_deg=(ego.steering_angle_deg if ego else 0.0),
+                can_speed_kmph=(ego.speed_ms * 3.6 if ego else 0.0),
+                can_valid=(ego.valid if ego else False),
+                pid_steering_raw_deg=float(sc["steering_raw"]),
+                pid_steering_filtered_deg=res.steering_deg,
+                autosteer_deg=float(sc["autosteer_deg"]),
+                cte=res.cte, yaw_error=res.yaw_error,
+                # AutoSteer angle substitutes curvature feed-forward
+                # (path_finder.cpp:95-97): log the same fused signal
+                curvature=float(sc["autosteer_deg"]) * np.pi / 180.0,
+                fused_valid=bool(sc["fused_valid"] > 0.5))
+        if composite is not None:
             if writer is not None:
                 writer.write(composite)
             if cfg.output.enable_viz:

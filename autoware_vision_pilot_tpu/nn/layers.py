@@ -20,6 +20,7 @@ Param leaf names are chosen so the torch->JAX converter
 """
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -141,13 +142,18 @@ class ConvTranspose2d(fnn.Module):
         # Non-overlapping case (k == s, the reference's upsample blocks):
         # each input pixel owns a disjoint kh x kw output block, so the
         # transposed conv is EXACTLY one contraction over cin followed by
-        # depth-to-space (verified == lax.conv_transpose to 0 ulp for the
-        # float path). One dot_general instead of a strided conv: it runs
+        # depth-to-space (matches lax.conv_transpose to 1 ulp f32 —
+        # summation order differs). One dot_general instead of a strided
+        # conv: it runs
         # on the MXU as a plain matmul (the decoder-tail upsamples are the
         # HBM/layout hot spot, docs/SCALING.md) and its gradient is two
         # matmuls — XLA:CPU compiled each conv_transpose grad for ~20 s,
         # which is what blew the multichip dryrun budget in rounds 1-2.
-        nonoverlap = (kh, kw) == (sh, sw)
+        # AVP_CT_EINSUM=0 falls back to lax.conv_transpose everywhere
+        # (A/B escape hatch; the einsum win is a CPU-compile-time fact,
+        # the TPU-runtime effect must be measured per backend).
+        nonoverlap = (kh, kw) == (sh, sw) and os.environ.get(
+            "AVP_CT_EINSUM", "1") != "0"
         ct_kw = dict(
             strides=(sh, sw),
             padding="VALID",

@@ -129,6 +129,55 @@ class AutoSteerTrainer:
         return {"xp_mae": float(mae), "h_precision": float(precision),
                 "h_recall": float(recall)}
 
+    def validate_map(self, val_batches,
+                     thresholds=(0.02, 0.05, 0.10)):
+        """Lane-vector mAP, comparable to the reference's published
+        val numbers (AutoSteer/README.md:12-14 — mAP 0.9546 / mAP@50
+        0.9691; auto_steer_trainer.py:163-248): per lane line, the
+        prediction is a hit at distance threshold t when the mean
+        masked normalized-x error is < t; decisions are ranked by the
+        mean height confidence and scored with 101-point interpolated
+        AP per threshold (vector_ap). mAP@50 = AP at t=0.05.
+        """
+        from .metrics import vector_ap
+
+        eval_vars = {"params": self.ema_params,
+                     "batch_stats": self.batch_stats}
+
+        @jax.jit
+        def fwd(x):
+            return self.model.apply(eval_vars, x)
+
+        tp = {t: [] for t in thresholds}
+        fp = {t: [] for t in thresholds}
+        conf = []
+        n_lines = 0
+        for images, t_xp, t_h in val_batches:
+            x = jnp.asarray(images, jnp.float32) / 255.0
+            lane, height = fwd(x)
+            # (B, H, 1, 1) -> one line per sample, H rows
+            lane = np.asarray(lane, np.float32).reshape(len(x), -1)
+            prob = 1.0 / (1.0 + np.exp(
+                -np.asarray(height, np.float32).reshape(len(x), -1)))
+            t_xp = np.asarray(t_xp, np.float32).reshape(len(x), -1)
+            t_h = np.asarray(t_h, np.float32).reshape(len(x), -1)
+            # masked lines in normalized space (val loop :203-214)
+            line = lane * (prob > 0.5)
+            target_line = t_xp * (t_h > 0.5)
+            dist = np.abs(line - target_line).mean(axis=1)
+            for t in thresholds:
+                hit = dist < t
+                tp[t].extend(hit.astype(int).tolist())
+                fp[t].extend((~hit).astype(int).tolist())
+            conf.extend(prob.mean(axis=1).tolist())
+            n_lines += len(x)
+        if not n_lines:
+            return {"map": 0.0, "map50": 0.0,
+                    "precision": 0.0, "recall": 0.0}
+        m_pre, m_rec, mean_ap, map50 = vector_ap(tp, fp, conf, n_lines)
+        return {"map": mean_ap, "map50": map50,
+                "precision": m_pre, "recall": m_rec}
+
     def save(self, name: str = "last"):
         import pathlib
         p = pathlib.Path(self.cfg.ckpt_dir)

@@ -125,3 +125,36 @@ def detection_map(predictions, ground_truths, num_classes: int,
     map50 = float(np.nanmean(aps[0]))
     map_full = float(np.nanmean(aps))
     return map50, map_full
+
+def vector_ap(tp_by_thresh: dict, fp_by_thresh: dict, conf, n_targets: int,
+              eps: float = 1e-16):
+    """AutoSteer 2.0 lane-vector AP (auto_steer_util.py:352-399,
+    compute_vector_ap): per distance threshold, sort the per-line TP/FP
+    decisions by confidence, 101-point interpolated AP; mAP@50 is the AP
+    at the 0.05 normalized-distance threshold, mean AP averages all
+    thresholds; precision/recall are means over thresholds of the running
+    precision/recall means.
+
+    Returns (m_precision, m_recall, mean_ap, map50).
+    """
+    thresholds = sorted(tp_by_thresh.keys())
+    conf = np.asarray(conf, np.float64)
+    order = np.argsort(-conf)
+    ap_by_t = {}
+    precisions, recalls = [], []
+    for t in thresholds:
+        tp = np.asarray(tp_by_thresh[t], np.float64)[order]
+        fp = np.asarray(fp_by_thresh[t], np.float64)[order]
+        tpc, fpc = tp.cumsum(), fp.cumsum()
+        precision = tpc / (tpc + fpc + eps)
+        recall = tpc / (n_targets + eps)
+        m_rec = np.concatenate(([0.0], recall, [1.0]))
+        m_pre = np.concatenate(([0.0], precision, [0.0]))
+        m_pre = np.flip(np.maximum.accumulate(np.flip(m_pre)))
+        x = np.linspace(0, 1, 101)
+        ap_by_t[t] = float(np.trapz(np.interp(x, m_rec, m_pre), x))
+        precisions.append(float(precision.mean()))
+        recalls.append(float(recall.mean()))
+    map50 = ap_by_t.get(0.05, ap_by_t[thresholds[0]])
+    mean_ap = float(np.mean(list(ap_by_t.values())))
+    return float(np.mean(precisions)), float(np.mean(recalls)), mean_ap, map50

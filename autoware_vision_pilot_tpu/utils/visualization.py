@@ -279,3 +279,24 @@ def draw_bev_vis(orig_frame_bgr: np.ndarray, H_orig_to_bev: np.ndarray,
                     (cx - 90, y - 18), cv2.FONT_HERSHEY_SIMPLEX, 0.6,
                     (255, 255, 255), 2)
     return bev
+
+def make_stacked_view(view_debug: np.ndarray, view_final: np.ndarray,
+                      view_bev: np.ndarray,
+                      window_height: int = 720) -> np.ndarray:
+    """Final composite layout (main.cpp:1286-1328):
+
+        | [Debug] | [ BEV (640x640) ]
+        | [Final] | [ black space   ]
+
+    Left column = debug stacked on final, resized to window height
+    preserving aspect; right column = BEV copied onto a black canvas of
+    the same height; columns concatenated horizontally.
+    """
+    left_col = np.concatenate([view_debug, view_final], axis=0)
+    aspect = left_col.shape[1] / left_col.shape[0]
+    left_col = cv2.resize(left_col,
+                          (int(window_height * aspect), window_height))
+    right_col = np.zeros((window_height, view_bev.shape[1], 3), np.uint8)
+    h = min(view_bev.shape[0], window_height)
+    right_col[:h] = view_bev[:h]
+    return np.concatenate([left_col, right_col], axis=1)

@@ -72,21 +72,27 @@ def build_pipeline(int8: bool = False):
         return x, mask, d
 
     @jax.jit
-    def lanes_step(x, mask, d):
+    def lanes_step(x, mask, d, prev_summary):
         lane_masks = threshold_channels(
             lanes.apply(lanes_v, x).astype(jnp.float32))
-        # tiny per-frame summary: fetched by the host every frame to force
-        # real materialization (block_until_ready alone does not guarantee
+        # tiny per-frame summary whose eventual fetch forces real
+        # materialization (block_until_ready alone does not guarantee
         # execution through the remote tunnel, and identical executions
-        # can be memoized — see BENCH_NOTES.md "Measurement validity")
+        # can be memoized — see BENCH_NOTES.md "Measurement validity");
+        # chained to the previous frame's summary so fetching the final
+        # one transitively forces the whole window (main() "why the
+        # chain").
         summary = jnp.stack([
             jnp.sum(mask).astype(jnp.float32), jnp.mean(d),
             jnp.sum(lane_masks).astype(jnp.float32)])
+        summary = summary + prev_summary * 1e-20
         return lane_masks, summary
 
-    def pipeline(frame_u8):
+    def pipeline(frame_u8, prev_summary=None):
+        if prev_summary is None:
+            prev_summary = jnp.zeros((3,), jnp.float32)
         x, mask, d = stack_step(frame_u8)
-        lane_masks, summary = lanes_step(x, mask, d)
+        lane_masks, summary = lanes_step(x, mask, d, prev_summary)
         return mask, d, lane_masks, summary
 
     return pipeline
@@ -119,7 +125,7 @@ def build_pipeline_fused(int8: bool = False):
         lanes_v = _quantize_int8(lanes, lanes_v, x0)
 
     @jax.jit
-    def fused_step(stack_v, lanes_v, frame_u8):
+    def fused_step(stack_v, lanes_v, frame_u8, prev_summary):
         x = preprocess_imagenet(frame_u8[None], (320, 640),
                                 dtype=jnp.bfloat16)
         seg_logits, depth_map, _ = stack.apply(stack_v, x)
@@ -130,13 +136,21 @@ def build_pipeline_fused(int8: bool = False):
         summary = jnp.stack([
             jnp.sum(mask).astype(jnp.float32), jnp.mean(d),
             jnp.sum(lane_masks).astype(jnp.float32)])
+        # data-chain to the previous frame's summary (scaled to
+        # numerical irrelevance): fetching the FINAL summary then
+        # transitively forces every chained execution to have really run
+        # — one tunnel round trip for the whole window instead of one
+        # per frame (see main() "why the chain").
+        summary = summary + prev_summary * 1e-20
         return mask, d, lane_masks, summary
 
     sv = jax.device_put(stack_v)
     lv = jax.device_put(lanes_v)
 
-    def pipeline(frame_u8):
-        return fused_step(sv, lv, frame_u8)
+    def pipeline(frame_u8, prev_summary=None):
+        if prev_summary is None:
+            prev_summary = jnp.zeros((3,), jnp.float32)
+        return fused_step(sv, lv, frame_u8, prev_summary)
 
     return pipeline
 
@@ -250,40 +264,53 @@ def main(fused: bool = False, int8: bool = False):
                    for _ in range(150)]
     out = pipeline(warm_frames[0])
     float(np.asarray(out[3])[0])
-    from collections import deque
-    warm_pending = deque()
+    s = None
     for f in warm_frames:
-        out = pipeline(f)
-        out[3].copy_to_host_async()
-        warm_pending.append(out[3])
-        if len(warm_pending) > 8:
-            np.asarray(warm_pending.popleft())
-    while warm_pending:
-        np.asarray(warm_pending.popleft())
-    DEPTH = 16
-    t0 = time.perf_counter()
-    pending = deque()
-    for i in range(N):
-        out = pipeline(frames[i])
-        out[3].copy_to_host_async()
-        pending.append(out[3])
-        if len(pending) > DEPTH:
-            np.asarray(pending.popleft())
-    while pending:
-        np.asarray(pending.popleft())
-    dt = (time.perf_counter() - t0) / N
-    fps = 1.0 / dt
+        out = pipeline(f, s)
+        s = out[3]
+    float(np.asarray(s)[0])  # forces the whole warm chain
+
+    # Why the chain: every frame's summary depends on the previous
+    # frame's, so ONE final fetch transitively proves every execution in
+    # the window really ran (no memoized replays — all frames distinct;
+    # no skipped executions — the fetched value depends on all of them).
+    # Fetching a summary EVERY frame instead serializes the loop on the
+    # tunnel's ~9-11 ms round trip and measures the tunnel, not the chip
+    # (round-2 headline 117.7 and this morning's 88.5 are both just the
+    # RTT of the day; the chip streams this pipeline far faster).
+    # Production hosts read results over local PCIe at microseconds —
+    # same rationale as pre-uploading input frames (above). Three
+    # windows, median, to reject shared-tunnel interference.
+    window_fps = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        s = None
+        for i in range(N):
+            out = pipeline(frames[(w * 37 + i) % N], s)
+            s = out[3]
+        float(np.asarray(s)[0])
+        dt = (time.perf_counter() - t0) / N
+        window_fps.append(1.0 / dt)
+    window_fps.sort()
+    fps = window_fps[1]
+    dt = 1.0 / fps
 
     # Per-frame latency at pipeline depth 1 (dispatch -> result on host):
     # BASELINE.json's metric is "frames/sec/chip ...; p50 per-frame
     # latency". Fresh frames (never executed -> no memoized replays); each
     # iteration blocks on its own result, so this is the depth-1
     # latency-optimized mode, not the depth-16 throughput mode timed above.
+    # 15 unmeasured mode-switch warm frames first: the first blocking
+    # dispatch after the deep async loop pays a one-time drain/resync
+    # cost (observed 7.5 s once) that is harness state, not per-frame
+    # latency.
     lat_frames = [jnp.asarray(rng.integers(0, 256, (720, 1280, 3),
                                            dtype=np.uint8))
-                  for _ in range(60)]
+                  for _ in range(75)]
+    for f in lat_frames[:15]:
+        np.asarray(pipeline(f)[3])
     lat_ms = []
-    for f in lat_frames:
+    for f in lat_frames[15:]:
         t0 = time.perf_counter()
         out = pipeline(f)
         np.asarray(out[3])

@@ -48,6 +48,23 @@ def test_conv_transpose2d():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_conv_transpose2d_einsum_equals_lax(monkeypatch):
+    """The k==s einsum+depth-to-space lowering must match
+    lax.conv_transpose to float summation-order tolerance (1 ulp f32;
+    AVP_CT_EINSUM toggles it — the env var is read at trace time)."""
+    import os
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 10, 12, 8)), jnp.float32)
+    mod = ConvTranspose2d(12, 2, 2, precision=P)
+    var = mod.init(jax.random.key(0), x)
+    monkeypatch.setitem(os.environ, "AVP_CT_EINSUM", "1")
+    y_e = mod.apply(var, x)
+    monkeypatch.setitem(os.environ, "AVP_CT_EINSUM", "0")
+    y_l = mod.apply(var, x)
+    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_l),
+                               atol=3e-7, rtol=1e-6)
+
+
 def test_linear():
     torch.manual_seed(2)
     x = torch.randn(4, 40)

@@ -24,42 +24,91 @@ def test_rerun_logger_noop_without_sdk(capsys):
     logger = rl_mod.RerunLogger.__new__(rl_mod.RerunLogger)
     logger.enabled = False
     logger.log_data(0, frame_bgr=np.zeros((4, 4, 3), np.uint8),
-                    steering_deg=1.0)
+                    autosteer_deg=1.0)
 
 
-def test_rerun_logger_with_fake_sdk(monkeypatch):
-    """With a (fake) SDK present, every signal of the reference's logData
-    set (rerun_logger.hpp:33-89) is logged under the expected paths."""
-    calls = []
-    fake = types.SimpleNamespace(
+def _fake_sdk(calls):
+    return types.SimpleNamespace(
         init=lambda app_id: calls.append(("init", app_id)),
         spawn=lambda: calls.append(("spawn",)),
         save=lambda p: calls.append(("save", p)),
         set_time_sequence=lambda n, v: calls.append(("seq", n, v)),
-        log=lambda path, obj: calls.append(("log", path)),
+        log=lambda path, obj: calls.append(("log", path, obj)),
         Image=lambda a: ("img", a.shape),
-        Scalar=lambda v: ("scalar", v),
+        Scalar=lambda v: ("scalar", float(v)),
     )
-    monkeypatch.setattr(rl_mod, "rr", fake)
+
+
+def test_rerun_logger_full_signal_set(monkeypatch):
+    """With a (fake) SDK present, the FULL reference logData channel list
+    (rerun_logger.cpp:81-146) is logged under identical entity paths:
+    per-lane masks, stacked view, CAN pair, raw/filtered PID + AutoSteer
+    angles, PathFinder triple, inference ms."""
+    calls = []
+    monkeypatch.setattr(rl_mod, "rr", _fake_sdk(calls))
     monkeypatch.setattr(rl_mod, "_HAS_RERUN", True)
 
     logger = rl_mod.RerunLogger(save_path="/tmp/x.rrd")
     logger.log_data(
-        7, frame_bgr=np.zeros((8, 8, 3), np.uint8),
-        lane_masks=np.zeros((80, 160, 3), np.float32),
-        steering_deg=3.0, autosteer_deg=2.0, cte_m=0.1,
-        yaw_error_rad=0.05, ego_speed_ms=20.0, set_speed_ms=22.0,
-        inference_us=5000.0)
+        7, frame_bgr=np.zeros((320, 640, 3), np.uint8),
+        ego_left=np.zeros((80, 160), np.float32),
+        ego_right=np.zeros((80, 160), np.float32),
+        other_lanes=np.zeros((80, 160), np.float32),
+        stacked_view_bgr=np.zeros((720, 1280, 3), np.uint8),
+        can_steering_deg=4.5, can_speed_kmph=88.0, can_valid=True,
+        pid_steering_raw_deg=3.5, pid_steering_filtered_deg=3.0,
+        autosteer_deg=2.0, cte=0.1, yaw_error=0.05, curvature=0.01,
+        fused_valid=True, inference_us=5000.0)
 
     assert ("init", "visionpilot_tpu") in calls
     assert ("save", "/tmp/x.rrd") in calls
     assert ("seq", "frame", 7) in calls
-    paths = {c[1] for c in calls if c[0] == "log"}
-    assert {"camera/frame", "perception/lane_masks",
-            "control/steering_deg", "control/autosteer_deg",
-            "pathfinder/cte_m", "pathfinder/yaw_error_rad",
-            "vehicle/ego_speed_ms", "planner/set_speed_ms",
-            "perf/inference_us"} <= paths
+    logged = {c[1]: c[2] for c in calls if c[0] == "log"}
+    assert set(logged) == {
+        "camera/image", "lanes/ego_left", "lanes/ego_right", "lanes/other",
+        "visualization/stacked_view", "can/steering_angle_deg",
+        "can/speed_kmph", "control/pid_steering_raw_deg",
+        "control/pid_steering_filtered_deg", "control/autosteer_angle_deg",
+        "pathfinder/cte", "pathfinder/yaw_error", "pathfinder/curvature",
+        "metrics/inference_time_ms"}
+    assert logged["can/speed_kmph"] == ("scalar", 88.0)
+    assert logged["metrics/inference_time_ms"] == ("scalar", 5.0)
+
+
+def test_rerun_logger_gating(monkeypatch):
+    """Invalid CAN logs 0.0 (rerun_logger.cpp:113-120); invalid PathFinder
+    fuse drops the pathfinder channels (:131-139); no sink -> disabled
+    (:22-25)."""
+    calls = []
+    monkeypatch.setattr(rl_mod, "rr", _fake_sdk(calls))
+    monkeypatch.setattr(rl_mod, "_HAS_RERUN", True)
+
+    assert not rl_mod.RerunLogger().enabled  # no viewer, no save path
+
+    logger = rl_mod.RerunLogger(save_path="/tmp/y.rrd")
+    logger.log_data(1, can_steering_deg=4.5, can_speed_kmph=88.0,
+                    can_valid=False, cte=0.1, yaw_error=0.05,
+                    curvature=0.01, fused_valid=False)
+    logged = {c[1]: c[2] for c in calls if c[0] == "log"}
+    assert logged["can/steering_angle_deg"] == ("scalar", 0.0)
+    assert logged["can/speed_kmph"] == ("scalar", 0.0)
+    assert not any(p.startswith("pathfinder/") for p in logged)
+
+
+def test_make_stacked_view_layout():
+    """Composite layout of main.cpp:1286-1328: left col = debug over
+    final resized to window height; right col = BEV on black canvas."""
+    from autoware_vision_pilot_tpu.utils.visualization import (
+        make_stacked_view)
+    debug = np.full((320, 640, 3), 10, np.uint8)
+    final = np.full((320, 640, 3), 20, np.uint8)
+    bev = np.full((640, 640, 3), 30, np.uint8)
+    view = make_stacked_view(debug, final, bev, window_height=720)
+    assert view.shape == (720, 720 + 640, 3)
+    assert view[10, 10].tolist() == [10, 10, 10]      # debug top-left
+    assert view[710, 10].tolist() == [20, 20, 20]     # final bottom-left
+    assert view[10, 730].tolist() == [30, 30, 30]     # BEV top-right
+    assert view[700, 730].tolist() == [0, 0, 0]       # black filler
 
 
 # --------------------------------------------------------------- camera

@@ -1,0 +1,166 @@
+"""QAT-to-deployment closure on the headline trunk (VERDICT r2 item 4).
+
+Reproduces the reference's QAT INT8 deployment flow end-to-end
+(Models/exports/README.md:19-55 + exports/benchmark_onnx_models.py, which
+publishes accuracy-parity tables for the QAT'd INT8 exports):
+
+1. float-train SceneSeg on synthetic scenes (tools/e2e_train_demo recipe)
+2. QAT fine-tune (train/qat.py: STE weight fake-quant + intercepted
+   activation fake-quant, observers sown)
+3. export via int8_variables_from_qat -> native int8 MXU conv format
+4. A/B the int8 program against the bf16 program on held-out frames:
+   argmax agreement + mIoU of both vs GT.
+
+Prints one JSON line. Run on the real TPU:
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/qat_closure.py
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--float-steps", type=int, default=80)
+    ap.add_argument("--qat-steps", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/qat_closure")
+    args = ap.parse_args()
+    out_dir = pathlib.Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    from autoware_vision_pilot_tpu.core.cache import setup_compilation_cache
+    setup_compilation_cache(
+        pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
+
+    import optax
+    from gen_synthetic_dataset import make_scene
+    from autoware_vision_pilot_tpu.core.mesh import make_mesh
+    from autoware_vision_pilot_tpu.models import SceneSegNetwork
+    from autoware_vision_pilot_tpu.train import (
+        create_seg_train_state, make_seg_train_step, segmentation_ce_loss)
+    from autoware_vision_pilot_tpu.train.datasets import decode_scene_seg_mask
+    from autoware_vision_pilot_tpu.train.metrics import (
+        confusion_matrix, miou_from_confusion)
+    from autoware_vision_pilot_tpu.train.qat import (
+        make_qat_loss, collect_act_scales, int8_variables_from_qat)
+    from autoware_vision_pilot_tpu.export.checkpoints import save_msgpack
+    from autoware_vision_pilot_tpu.ops import argmax_mask
+
+    # --- data (e2e_train_demo recipe: index-pinned split) ------------------
+    rng = np.random.default_rng(0)
+    n_train, n_val = 48, 16
+
+    def sample(i):
+        img, lab = make_scene(np.random.default_rng(i), (320, 640))
+        ids, _ = decode_scene_seg_mask(lab)
+        return img.astype(np.float32) / 255.0, ids.astype(np.int32)
+
+    train = [sample(i) for i in range(n_train)]
+    val = [sample(10_000 + i) for i in range(n_val)]
+    val_x = jnp.asarray(np.stack([v[0] for v in val]))
+    val_y = np.stack([v[1] for v in val])
+
+    model = SceneSegNetwork(dtype=jnp.bfloat16)
+    tx = optax.adamw(3e-4)
+    state = create_seg_train_state(model, (1, 320, 640, 3),
+                                   jax.random.key(0), tx)
+    run, _ = make_seg_train_step(model, tx, loss_fn=segmentation_ce_loss,
+                                 mesh=make_mesh())
+
+    # --- phase 1: float training -------------------------------------------
+    key = jax.random.key(1)
+    B = args.batch
+    t0 = time.perf_counter()
+    for _ in range(args.float_steps):
+        idx = rng.choice(n_train, B, replace=False)
+        xb = jnp.asarray(np.stack([train[i][0] for i in idx]))
+        yb = jnp.asarray(np.stack([train[i][1] for i in idx]))
+        key, k = jax.random.split(key)
+        state, loss = run(state, xb, yb, k)
+    float_s = time.perf_counter() - t0
+    float_loss = float(loss)
+
+    # --- phase 2: QAT fine-tune ---------------------------------------------
+    # same fake-quant numerics the int8 deployment path will apply
+    # (weights per-out-channel, conv inputs per-tensor)
+    qat_loss = make_qat_loss(
+        model, lambda out, tgt: segmentation_ce_loss(out, tgt))
+    qat_tx = optax.adamw(5e-5)  # low-LR adaptation, reference QAT style
+    qat_opt = qat_tx.init(state.params)
+
+    @jax.jit
+    def qat_step(params, bs, opt, x, y, k):
+        def lf(p):
+            (l, mut) = qat_loss(p, bs, x, y, rngs={"dropout": k})
+            return l, mut
+        (l, mut), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt = qat_tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        return params, mut["batch_stats"], opt, l, mut["intermediates"]
+
+    params, bs = state.params, state.batch_stats
+    act_running: dict = {}
+    t0 = time.perf_counter()
+    for _ in range(args.qat_steps):
+        idx = rng.choice(n_train, B, replace=False)
+        xb = jnp.asarray(np.stack([train[i][0] for i in idx]))
+        yb = jnp.asarray(np.stack([train[i][1] for i in idx]))
+        key, k = jax.random.split(key)
+        params, bs, qat_opt, qloss, inter = qat_step(
+            params, bs, qat_opt, xb, yb, k)
+        for path, s in collect_act_scales(inter).items():
+            act_running[path] = max(act_running.get(path, 0.0), s)
+    qat_s = time.perf_counter() - t0
+    qat_loss_v = float(qloss)
+
+    variables = {"params": params, "batch_stats": bs}
+    int8_vars = int8_variables_from_qat(variables, act_running)
+    save_msgpack(out_dir / "scene_seg_qat_int8.msgpack", int8_vars)
+
+    # --- phase 3: A/B deployment programs ------------------------------------
+    @jax.jit
+    def predict_bf16(x):
+        logits = model.apply(variables, x.astype(jnp.bfloat16), train=False)
+        return argmax_mask(logits.astype(jnp.float32))
+
+    @jax.jit
+    def predict_int8(x):
+        logits = model.apply(int8_vars, x.astype(jnp.bfloat16), train=False)
+        return argmax_mask(logits.astype(jnp.float32))
+
+    pred_bf16 = np.asarray(predict_bf16(val_x))
+    pred_int8 = np.asarray(predict_int8(val_x))
+    agreement = float((pred_bf16 == pred_int8).mean())
+
+    def miou(pred):
+        cm = sum(confusion_matrix(pred[i], val_y[i], 3)
+                 for i in range(n_val))
+        return miou_from_confusion(cm)[1]
+
+    print(json.dumps({
+        "metric": "qat_int8_closure",
+        "float_steps": args.float_steps, "qat_steps": args.qat_steps,
+        "float_loss": round(float_loss, 4),
+        "qat_loss": round(qat_loss_v, 4),
+        "argmax_agreement_int8_vs_bf16": round(agreement, 5),
+        "miou_bf16": round(miou(pred_bf16), 4),
+        "miou_int8": round(miou(pred_int8), 4),
+        "n_quantized_convs": len(act_running),
+        "float_train_s": round(float_s, 1), "qat_train_s": round(qat_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
