@@ -149,11 +149,18 @@ class ConvTranspose2d(fnn.Module):
         # HBM/layout hot spot, docs/SCALING.md) and its gradient is two
         # matmuls — XLA:CPU compiled each conv_transpose grad for ~20 s,
         # which is what blew the multichip dryrun budget in rounds 1-2.
-        # AVP_CT_EINSUM=0 falls back to lax.conv_transpose everywhere
-        # (A/B escape hatch; the einsum win is a CPU-compile-time fact,
-        # the TPU-runtime effect must be measured per backend).
-        nonoverlap = (kh, kw) == (sh, sw) and os.environ.get(
-            "AVP_CT_EINSUM", "1") != "0"
+        # Backend-dependent default, AVP_CT_EINSUM=0/1 overrides:
+        # - CPU: einsum — XLA:CPU compiles each conv_transpose GRAD for
+        #   ~20 s (that compile time blew the multichip-dryrun budget in
+        #   rounds 1-2); the einsum grad is two matmuls.
+        # - TPU: lax.conv_transpose — measured FASTER at runtime
+        #   (tools/bench_ct_ab.py, honest chained-fetch timing: SceneSeg
+        #   fwd 7.2 ms vs 8.5-10.2 ms with einsum+d2s; the 6-D d2s
+        #   transpose costs more than XLA's native strided conv).
+        use_einsum = os.environ.get("AVP_CT_EINSUM")
+        if use_einsum is None:
+            use_einsum = "1" if jax.default_backend() == "cpu" else "0"
+        nonoverlap = (kh, kw) == (sh, sw) and use_einsum != "0"
         ct_kw = dict(
             strides=(sh, sw),
             padding="VALID",
