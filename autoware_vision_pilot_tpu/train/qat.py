@@ -63,10 +63,26 @@ def fake_quant_params(params, min_channels: int = 32):
     return walk(params)
 
 
-def make_act_quant_interceptor(min_channels: int = 32):
-    """flax intercept_methods hook fake-quanting every Conv2d input
-    (dynamic per-tensor scale during training) and sowing the activation
-    amax so static deployment scales can be read back."""
+def fake_quant_ste_static(x, scale):
+    """Symmetric int8 fake-quant with a FIXED scale (frozen observer) and
+    straight-through gradients — the exact numerics of the deployed
+    static-x_scale int8 conv path (nn.layers.Conv2d)."""
+    q = jnp.clip(jnp.round(x / scale), -127, 127) * scale
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def make_act_quant_interceptor(min_channels: int = 32,
+                               static_scales: dict | None = None):
+    """flax intercept_methods hook fake-quanting every Conv2d input and
+    sowing the activation amax so static deployment scales can be read
+    back.
+
+    static_scales=None -> dynamic per-batch scales (observer phase).
+    static_scales={module-path-tuple: scale} -> FROZEN observers (the
+    reference PT2E flow's observer-freezing phase,
+    exports/README.md:19-55): the fake-quant uses the exact static
+    scale the deployed int8 program will use, closing the train/deploy
+    numerics gap."""
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
         if (isinstance(m, Conv2d) and context.method_name == "__call__"
@@ -78,7 +94,12 @@ def make_act_quant_interceptor(min_channels: int = 32):
             xf = x.astype(jnp.float32)
             amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
             m.sow("intermediates", "qat_act_amax", amax)
-            xq = fake_quant_ste(xf).astype(x.dtype)
+            if static_scales is not None:
+                s = static_scales.get(tuple(m.path))
+                xq = (xf if s is None
+                      else fake_quant_ste_static(xf, s)).astype(x.dtype)
+            else:
+                xq = fake_quant_ste(xf).astype(x.dtype)
             args = (xq,) + args[1:]
         return next_fun(*args, **kwargs)
 
@@ -86,7 +107,8 @@ def make_act_quant_interceptor(min_channels: int = 32):
 
 
 def qat_apply(model, variables, *args, min_channels: int = 32,
-              quant_acts: bool = True, **kwargs):
+              quant_acts: bool = True, static_scales: dict | None = None,
+              **kwargs):
     """model.apply with QAT numerics: fake-quanted conv kernels, and
     (optionally) fake-quanted conv input activations. Drop-in inside any
     loss function; gradients flow straight-through.
@@ -98,7 +120,8 @@ def qat_apply(model, variables, *args, min_channels: int = 32,
     v["params"] = fake_quant_params(v["params"], min_channels)
     if not quant_acts:
         return model.apply(v, *args, **kwargs)
-    with fnn.intercept_methods(make_act_quant_interceptor(min_channels)):
+    with fnn.intercept_methods(
+            make_act_quant_interceptor(min_channels, static_scales)):
         return model.apply(v, *args, **kwargs)
 
 
@@ -145,16 +168,20 @@ def int8_variables_from_qat(variables, act_scales: dict,
 
 
 def make_qat_loss(model, base_loss: Callable, min_channels: int = 32,
-                  quant_acts: bool = True):
+                  quant_acts: bool = True,
+                  static_scales: dict | None = None):
     """Wrap a standard `loss(apply_fn, params, batch) -> scalar`-style
     closure: the returned callable has the signature
     ``loss(params, batch_stats, x, *loss_args, rngs=None)`` and runs the
-    forward with QAT numerics."""
+    forward with QAT numerics. Pass static_scales (from
+    collect_act_scales of an earlier observer phase) to train against
+    FROZEN observers — deployment-exact activation quantization."""
     def loss(params, batch_stats, x, *loss_args, rngs=None):
         out, mut = qat_apply(
             model, {"params": params, "batch_stats": batch_stats}, x,
             train=True, mutable=["batch_stats", "intermediates"],
-            rngs=rngs, min_channels=min_channels, quant_acts=quant_acts)
+            rngs=rngs, min_channels=min_channels, quant_acts=quant_acts,
+            static_scales=static_scales)
         return base_loss(out, *loss_args), mut
 
     return loss

@@ -132,3 +132,31 @@ def test_legacy_trainer_learns_under_qat(tmp_path):
     assert len(losses) >= 2
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_frozen_observers_match_deployed_int8_exactly(tiny_model):
+    """With FROZEN observers (static_scales), the QAT forward applies
+    byte-identical activation quantization to the deployed int8 conv
+    path: same x_scale, same clip/round grid. The residual difference is
+    only the weight dequant order (int8 matmul then scale vs fake-quant
+    then float matmul) — bounded well below the dynamic-scale gap."""
+    m, v = tiny_model
+    x = jnp.asarray(np.random.default_rng(3).normal(0, 1, (2, 16, 32, 3)),
+                    jnp.float32)
+    # observer pass -> scales; frozen pass uses them
+    _, mut = qat_apply(m, v, x, mutable=["intermediates"])
+    scales = collect_act_scales(mut["intermediates"])
+    frozen_out, _ = qat_apply(m, v, x, mutable=["intermediates"],
+                              static_scales=scales)
+    v8 = int8_variables_from_qat(v, scales)
+    int8_out = m.apply(v8, x)
+    rel = float(jnp.max(jnp.abs(int8_out - frozen_out)) /
+                jnp.max(jnp.abs(frozen_out)))
+    assert rel < 0.02, rel
+    # and the frozen path keys by module path: unknown paths pass through
+    frozen_out2, _ = qat_apply(m, v, x, mutable=["intermediates"],
+                               static_scales={("nope",): 1.0})
+    # weights still fake-quanted, so compare against weight-only QAT
+    w_only = qat_apply(m, v, x, quant_acts=False)
+    assert np.allclose(np.asarray(frozen_out2), np.asarray(w_only),
+                       atol=1e-5)

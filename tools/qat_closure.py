@@ -33,7 +33,11 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--float-steps", type=int, default=80)
-    ap.add_argument("--qat-steps", type=int, default=40)
+    ap.add_argument("--qat-steps", type=int, default=80)
+    # 128 matches the deployed int8 perf config (bench.py --int8
+    # quantizes only >=128-ch convs: smaller ones are dispatch-bound and
+    # int8 there only adds error) — QAT numerics must mirror deployment
+    ap.add_argument("--min-ch", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="/tmp/qat_closure")
     args = ap.parse_args()
@@ -92,41 +96,54 @@ def main():
     float_s = time.perf_counter() - t0
     float_loss = float(loss)
 
-    # --- phase 2: QAT fine-tune ---------------------------------------------
-    # same fake-quant numerics the int8 deployment path will apply
-    # (weights per-out-channel, conv inputs per-tensor)
-    qat_loss = make_qat_loss(
-        model, lambda out, tgt: segmentation_ce_loss(out, tgt))
+    # --- phase 2: QAT fine-tune, two sub-phases (reference PT2E flow:
+    # observers active, then observers FROZEN — exports/README.md:19-55).
+    # 2a trains with dynamic per-batch activation scales and records the
+    # running amax; 2b trains against the frozen static scales — the
+    # exact numerics (same x_scale values) of the deployed int8 program.
     qat_tx = optax.adamw(5e-5)  # low-LR adaptation, reference QAT style
     qat_opt = qat_tx.init(state.params)
 
-    @jax.jit
-    def qat_step(params, bs, opt, x, y, k):
-        def lf(p):
-            (l, mut) = qat_loss(p, bs, x, y, rngs={"dropout": k})
-            return l, mut
-        (l, mut), grads = jax.value_and_grad(lf, has_aux=True)(params)
-        updates, opt = qat_tx.update(grads, opt, params)
-        params = optax.apply_updates(params, updates)
-        return params, mut["batch_stats"], opt, l, mut["intermediates"]
+    def make_step(static_scales):
+        qat_loss = make_qat_loss(
+            model, lambda out, tgt: segmentation_ce_loss(out, tgt),
+            min_channels=args.min_ch, static_scales=static_scales)
+
+        @jax.jit
+        def qat_step(params, bs, opt, x, y, k):
+            def lf(p):
+                (l, mut) = qat_loss(p, bs, x, y, rngs={"dropout": k})
+                return l, mut
+            (l, mut), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, opt = qat_tx.update(grads, opt, params)
+            params = optax.apply_updates(params, updates)
+            return (params, mut["batch_stats"], opt, l,
+                    mut["intermediates"])
+        return qat_step
 
     params, bs = state.params, state.batch_stats
     act_running: dict = {}
     t0 = time.perf_counter()
-    for _ in range(args.qat_steps):
+    observe_steps = args.qat_steps // 2
+    step_fn = make_step(None)
+    for phase_step in range(args.qat_steps):
+        if phase_step == observe_steps:  # freeze observers
+            step_fn = make_step(dict(act_running))
         idx = rng.choice(n_train, B, replace=False)
         xb = jnp.asarray(np.stack([train[i][0] for i in idx]))
         yb = jnp.asarray(np.stack([train[i][1] for i in idx]))
         key, k = jax.random.split(key)
-        params, bs, qat_opt, qloss, inter = qat_step(
+        params, bs, qat_opt, qloss, inter = step_fn(
             params, bs, qat_opt, xb, yb, k)
-        for path, s in collect_act_scales(inter).items():
-            act_running[path] = max(act_running.get(path, 0.0), s)
+        if phase_step < observe_steps:
+            for path, s in collect_act_scales(inter).items():
+                act_running[path] = max(act_running.get(path, 0.0), s)
     qat_s = time.perf_counter() - t0
     qat_loss_v = float(qloss)
 
     variables = {"params": params, "batch_stats": bs}
-    int8_vars = int8_variables_from_qat(variables, act_running)
+    int8_vars = int8_variables_from_qat(variables, act_running,
+                                        min_channels=args.min_ch)
     save_msgpack(out_dir / "scene_seg_qat_int8.msgpack", int8_vars)
 
     # --- phase 3: A/B deployment programs ------------------------------------
@@ -158,6 +175,7 @@ def main():
         "miou_bf16": round(miou(pred_bf16), 4),
         "miou_int8": round(miou(pred_int8), 4),
         "n_quantized_convs": len(act_running),
+        "min_ch": args.min_ch,
         "float_train_s": round(float_s, 1), "qat_train_s": round(qat_s, 1),
     }))
 
