@@ -151,7 +151,8 @@ def main(argv=None):
             cfg.target_fps or 10.0, (1280, 720))
 
     wheel = viz.make_steering_wheel_image() \
-        if (writer is not None or cfg.output.enable_viz) else None
+        if (writer is not None or cfg.output.enable_viz or
+            (rerun_log is not None and rerun_log.enabled)) else None
 
     t_start = time.perf_counter()
     frame_count = [0]

@@ -78,6 +78,7 @@ def main():
 
     model = SceneSegNetwork(dtype=jnp.bfloat16)
     tx = optax.adamw(3e-4)
+    print("[qat_closure] init...", flush=True)
     state = create_seg_train_state(model, (1, 320, 640, 3),
                                    jax.random.key(0), tx)
     run, _ = make_seg_train_step(model, tx, loss_fn=segmentation_ce_loss,
@@ -95,6 +96,7 @@ def main():
         state, loss = run(state, xb, yb, k)
     float_s = time.perf_counter() - t0
     float_loss = float(loss)
+    print(f"[qat_closure] float phase done ({float_s:.0f}s)", flush=True)
 
     # --- phase 2: QAT fine-tune, two sub-phases (reference PT2E flow:
     # observers active, then observers FROZEN — exports/README.md:19-55).
@@ -128,6 +130,8 @@ def main():
     step_fn = make_step(None)
     for phase_step in range(args.qat_steps):
         if phase_step == observe_steps:  # freeze observers
+            print(f"[qat_closure] freezing observers at step "
+                  f"{phase_step}", flush=True)
             step_fn = make_step(dict(act_running))
         idx = rng.choice(n_train, B, replace=False)
         xb = jnp.asarray(np.stack([train[i][0] for i in idx]))
@@ -140,6 +144,7 @@ def main():
                 act_running[path] = max(act_running.get(path, 0.0), s)
     qat_s = time.perf_counter() - t0
     qat_loss_v = float(qloss)
+    print(f"[qat_closure] qat phase done ({qat_s:.0f}s)", flush=True)
 
     variables = {"params": params, "batch_stats": bs}
     int8_vars = int8_variables_from_qat(variables, act_running,
@@ -157,9 +162,23 @@ def main():
         logits = model.apply(int8_vars, x.astype(jnp.bfloat16), train=False)
         return argmax_mask(logits.astype(jnp.float32))
 
+    # control: how much does the bf16 deployment itself disagree with a
+    # f32 forward of the SAME weights? This is the numerics noise floor
+    # any deployment config carries; int8-vs-bf16 agreement should be
+    # judged against it, not against 1.0.
+    @jax.jit
+    def predict_f32(x):
+        logits = model.apply(variables, x.astype(jnp.float32), train=False)
+        return argmax_mask(logits.astype(jnp.float32))
+
     pred_bf16 = np.asarray(predict_bf16(val_x))
+    print("[qat_closure] bf16 predict done", flush=True)
     pred_int8 = np.asarray(predict_int8(val_x))
+    print("[qat_closure] int8 predict done", flush=True)
+    pred_f32 = np.asarray(predict_f32(val_x))
+    print("[qat_closure] f32 control done", flush=True)
     agreement = float((pred_bf16 == pred_int8).mean())
+    control = float((pred_bf16 == pred_f32).mean())
 
     def miou(pred):
         cm = sum(confusion_matrix(pred[i], val_y[i], 3)
@@ -172,8 +191,10 @@ def main():
         "float_loss": round(float_loss, 4),
         "qat_loss": round(qat_loss_v, 4),
         "argmax_agreement_int8_vs_bf16": round(agreement, 5),
+        "control_agreement_bf16_vs_f32": round(control, 5),
         "miou_bf16": round(miou(pred_bf16), 4),
         "miou_int8": round(miou(pred_int8), 4),
+        "miou_f32": round(miou(pred_f32), 4),
         "n_quantized_convs": len(act_running),
         "min_ch": args.min_ch,
         "float_train_s": round(float_s, 1), "qat_train_s": round(qat_s, 1),
