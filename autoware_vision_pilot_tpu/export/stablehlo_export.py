@@ -30,8 +30,24 @@ EXPORT_SHAPES = {
 
 def export_stablehlo(fn: Callable, example_args: Sequence,
                      path: str | pathlib.Path) -> pathlib.Path:
-    """Serialize jit(fn) at the example shapes to <path> (bytes)."""
-    exported = jax_export.export(jax.jit(fn))(*example_args)
+    """Serialize jit(fn) at the example shapes to <path> (bytes).
+
+    Traces with AVP_CT_EINSUM=0: exports usually run on a CPU host but
+    are consumed by TPU/GPU runtimes, and the einsum ConvTranspose
+    lowering (a CPU-compile-time workaround) is measurably slower at
+    TPU runtime (tools/bench_ct_ab.py) — artifacts must carry the
+    deployment-optimal lax.conv_transpose form.
+    """
+    import os
+    prev = os.environ.get("AVP_CT_EINSUM")
+    os.environ["AVP_CT_EINSUM"] = "0"
+    try:
+        exported = jax_export.export(jax.jit(fn))(*example_args)
+    finally:
+        if prev is None:
+            os.environ.pop("AVP_CT_EINSUM", None)
+        else:
+            os.environ["AVP_CT_EINSUM"] = prev
     data = exported.serialize()
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
