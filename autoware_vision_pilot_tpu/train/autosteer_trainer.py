@@ -98,8 +98,11 @@ class AutoSteerTrainer:
 
     def validate(self, val_batches, detect_thresh: float = 0.5):
         """Lane-vector metrics over (images, t_xp, t_h) batches (the
-        auto_steer_trainer.py val role): mean |xp error| on rows where the
-        lane exists, and height-validity precision/recall."""
+        auto_steer_trainer.py val role), all from ONE forward pass:
+        mean |xp error| on rows where the lane exists, height-validity
+        precision/recall, AND the reference-comparable vector mAP/mAP@50
+        (AutoSteer/README.md:12-14 publishes 0.9546/0.9691;
+        auto_steer_trainer.py:163-248)."""
         eval_vars = {"params": self.ema_params,
                      "batch_stats": self.batch_stats}
 
@@ -107,8 +110,14 @@ class AutoSteerTrainer:
         def fwd(x):
             return self.model.apply(eval_vars, x)
 
+        from .metrics import vector_ap
+        map_thresholds = (0.02, 0.05, 0.10)
         abs_err_sum = n_rows = 0.0
         tp = fp = fn = 0.0
+        ap_tp = {t: [] for t in map_thresholds}
+        ap_fp = {t: [] for t in map_thresholds}
+        conf = []
+        n_lines = 0
         for images, t_xp, t_h in val_batches:
             x = jnp.asarray(images, jnp.float32) / 255.0
             lane, height = fwd(x)
@@ -123,11 +132,31 @@ class AutoSteerTrainer:
             tp += (pred & valid).sum()
             fp += (pred & ~valid).sum()
             fn += (~pred & valid).sum()
+            # vector AP: per line, hit at threshold t when the mean
+            # masked normalized-x error < t, ranked by mean height conf
+            # (val loop :203-224)
+            lane2 = lane.reshape(len(x), -1)
+            prob2 = prob.reshape(len(x), -1)
+            line = lane2 * (prob2 > 0.5)
+            target_line = (t_xp.reshape(len(x), -1) *
+                           (t_h.reshape(len(x), -1) > 0.5))
+            dist = np.abs(line - target_line).mean(axis=1)
+            for t in map_thresholds:
+                hit = dist < t
+                ap_tp[t].extend(hit.astype(int).tolist())
+                ap_fp[t].extend((~hit).astype(int).tolist())
+            conf.extend(prob2.mean(axis=1).tolist())
+            n_lines += len(x)
         mae = abs_err_sum / max(n_rows, 1)
         precision = tp / max(tp + fp, 1)
         recall = tp / max(tp + fn, 1)
-        return {"xp_mae": float(mae), "h_precision": float(precision),
-                "h_recall": float(recall)}
+        out = {"xp_mae": float(mae), "h_precision": float(precision),
+               "h_recall": float(recall),
+               "map": 0.0, "map50": 0.0}
+        if n_lines:
+            _, _, out["map"], out["map50"] = vector_ap(
+                ap_tp, ap_fp, conf, n_lines)
+        return out
 
     def validate_map(self, val_batches,
                      thresholds=(0.02, 0.05, 0.10)):

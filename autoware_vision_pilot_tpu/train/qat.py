@@ -169,19 +169,37 @@ def int8_variables_from_qat(variables, act_scales: dict,
 
 def make_qat_loss(model, base_loss: Callable, min_channels: int = 32,
                   quant_acts: bool = True,
-                  static_scales: dict | None = None):
+                  static_scales: dict | None = None,
+                  freeze_bn: bool = False):
     """Wrap a standard `loss(apply_fn, params, batch) -> scalar`-style
     closure: the returned callable has the signature
     ``loss(params, batch_stats, x, *loss_args, rngs=None)`` and runs the
-    forward with QAT numerics. Pass static_scales (from
-    collect_act_scales of an earlier observer phase) to train against
-    FROZEN observers — deployment-exact activation quantization."""
+    forward with QAT numerics.
+
+    The reference's "advanced QAT recipes" are both supported
+    (exports/README.md:23 "observer freezing, batch norm freezing"):
+    - static_scales (from collect_act_scales of an earlier observer
+      phase) trains against FROZEN observers — deployment-exact
+      activation quantization;
+    - freeze_bn=True runs the forward in eval-mode BN (running stats,
+      no updates) — deployment-exact normalization.
+    """
     def loss(params, batch_stats, x, *loss_args, rngs=None):
-        out, mut = qat_apply(
-            model, {"params": params, "batch_stats": batch_stats}, x,
-            train=True, mutable=["batch_stats", "intermediates"],
-            rngs=rngs, min_channels=min_channels, quant_acts=quant_acts,
-            static_scales=static_scales)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if freeze_bn:
+            out, mut = qat_apply(
+                model, variables, x, train=False,
+                mutable=["intermediates"], rngs=rngs,
+                min_channels=min_channels, quant_acts=quant_acts,
+                static_scales=static_scales)
+            mut = dict(mut)
+            mut["batch_stats"] = batch_stats
+        else:
+            out, mut = qat_apply(
+                model, variables, x, train=True,
+                mutable=["batch_stats", "intermediates"], rngs=rngs,
+                min_channels=min_channels, quant_acts=quant_acts,
+                static_scales=static_scales)
         return base_loss(out, *loss_args), mut
 
     return loss

@@ -97,6 +97,12 @@ def test_autosteer_validate_map_runs():
     # 0.995 is "perfect" under the reference formula (trailing sentinel)
     assert out["map50"] == pytest.approx(0.995, abs=1e-6)
     assert out["map"] == pytest.approx(0.995, abs=1e-6)
+    # validate() emits the same mAP alongside MAE/precision/recall
+    # (single forward pass; VERDICT r2 #8 done-criterion)
+    full = tr.validate([(imgs, np.asarray(lane), t_h)])
+    assert full["map50"] == pytest.approx(out["map50"], abs=1e-9)
+    assert full["map"] == pytest.approx(out["map"], abs=1e-9)
+    assert full["xp_mae"] < 1e-6 and full["h_precision"] == 1.0
     # corrupted targets -> mAP drops
     bad = tr.validate_map(
         [(imgs, np.asarray(lane) + 0.5, 1.0 - t_h)])

@@ -107,9 +107,13 @@ def main():
     qat_opt = qat_tx.init(state.params)
 
     def make_step(static_scales):
+        # frozen phase also freezes BN (eval-mode running stats) — the
+        # reference's full "observer freezing, batch norm freezing"
+        # recipe (exports/README.md:23)
         qat_loss = make_qat_loss(
             model, lambda out, tgt: segmentation_ce_loss(out, tgt),
-            min_channels=args.min_ch, static_scales=static_scales)
+            min_channels=args.min_ch, static_scales=static_scales,
+            freeze_bn=static_scales is not None)
 
         @jax.jit
         def qat_step(params, bs, opt, x, y, k):
