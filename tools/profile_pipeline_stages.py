@@ -64,12 +64,10 @@ def main():
     kw = dict(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     stack = SharedPerceptionStack(with_domain=False, **kw)
     lanes = EgoLanesNetwork(**kw)
-    bb = EfficientNetB0Features(**kw)
     key = jax.random.key(0)
     x0 = jnp.zeros((1, 320, 640, 3), jnp.bfloat16)
     stack_v = stack.init(key, x0)
     lanes_v = lanes.init(key, x0)
-    bb_v = stack_v  # probe the stack's own backbone params below
 
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.integers(0, 256, (720, 1280, 3), np.uint8))
