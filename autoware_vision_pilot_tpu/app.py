@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .runtime.config import load_config, Config
 from .runtime.pipeline import (
-    LateralPipeline, LongitudinalPipeline, PipelineEngine)
+    LateralPipeline, LongitudinalPipeline, PipelineEngine, SCALAR_FIELDS)
 from .perception.tracking import ObjectFinder
 from .utils.csv_logger import CsvFlightRecorder
 from .utils import visualization as viz
@@ -221,7 +221,6 @@ def main(argv=None):
                                   (rerun_log and rerun_log.enabled)):
             composite = compose(res, lat_out, tracking, frame)
         if rerun_log is not None and rerun_log.enabled:
-            from .runtime.pipeline import SCALAR_FIELDS
             masks = np.asarray(lat_out["lane_masks"], np.float32)
             sc = dict(zip(SCALAR_FIELDS, np.asarray(lat_out["scalars"])))
             rerun_log.log_data(
