@@ -57,8 +57,17 @@ class FleetLateralPipeline:
 
     def __init__(self, lanes_vars, autosteer_vars, cfg: Config,
                  n_streams: int, frame_hw=(720, 1280), crop_y: int = 420,
-                 dtype=jnp.bfloat16, mesh=None):
+                 dtype=jnp.bfloat16, mesh=None, pad_to: int = 0):
+        """pad_to > n_streams runs the device program at a larger
+        PHYSICAL batch (padding streams carry zero frames and their own
+        dead state) and slices outputs back to n_streams — a serving
+        knob for batch sizes whose conv tiling is slow (XLA picks
+        layouts per physical batch; see docs/SCALING.md fleet table).
+        Per-stream results are bit-identical to the unpadded pipeline
+        (vmap is elementwise over the stream axis; tests/test_fleet.py).
+        """
         self.n_streams = n_streams
+        self.pad_to = max(pad_to, n_streams) if pad_to else n_streams
         self.mesh = mesh
         step = build_lateral_step(lanes_vars, autosteer_vars, cfg,
                                   frame_hw=frame_hw, crop_y=crop_y,
@@ -71,10 +80,20 @@ class FleetLateralPipeline:
                     mesh, P(*(("data",) + (None,) * (x.ndim - 1))))), t)
         else:
             self._shard = lambda t: t
-        self._step = jax.jit(vstep, donate_argnums=(1,))
+        n_pad = self.pad_to - n_streams
+        if n_pad:
+            def padded(frames, states):
+                pad = jnp.zeros((n_pad,) + frames.shape[1:], frames.dtype)
+                out, new_states = vstep(
+                    jnp.concatenate([frames, pad]), states)
+                return jax.tree.map(lambda x: x[:n_streams], out), \
+                    new_states
+            self._step = jax.jit(padded, donate_argnums=(1,))
+        else:
+            self._step = jax.jit(vstep, donate_argnums=(1,))
 
     def init_states(self, seed: int = 0) -> LateralState:
-        return self._shard(_stack_states(self.n_streams, seed))
+        return self._shard(_stack_states(self.pad_to, seed))
 
     def __call__(self, frames_u8, states):
         return self._step(self._shard(frames_u8), states)

@@ -188,3 +188,36 @@ def test_fleet_longitudinal_matches_single(lateral_vars):
     for i in range(2):
         t_i = np.asarray(single(jnp.asarray(frames[i])))
         np.testing.assert_allclose(tables[i], t_i, rtol=1e-4, atol=1e-4)
+
+
+def test_fleet_pad_to_matches_unpadded(lateral_vars):
+    """pad_to runs a larger physical batch; the real streams' outputs
+    must equal the unpadded fleet's (same tolerance rationale as
+    test_fleet_matches_independent_streams: vmapped programs at
+    different physical batch sizes reassociate floats)."""
+    from autoware_vision_pilot_tpu.runtime import (
+        Config, FleetLateralPipeline)
+
+    lanes_vars, steer_vars = lateral_vars
+    cfg = Config()
+    N, T = 2, 2
+    frames = _frames(N, T, seed=3)
+
+    plain = FleetLateralPipeline(lanes_vars, steer_vars, cfg,
+                                 n_streams=N, dtype=jnp.float32)
+    padded = FleetLateralPipeline(lanes_vars, steer_vars, cfg,
+                                  n_streams=N, dtype=jnp.float32,
+                                  pad_to=4)
+    assert padded.pad_to == 4
+    s_plain = plain.init_states(seed=0)
+    s_pad = padded.init_states(seed=0)
+    for t in range(T):
+        out_p, s_plain = plain(jnp.asarray(frames[t]), s_plain)
+        out_q, s_pad = padded(jnp.asarray(frames[t]), s_pad)
+        assert np.asarray(out_q["scalars"]).shape[0] == N
+        np.testing.assert_allclose(np.asarray(out_p["scalars"]),
+                                   np.asarray(out_q["scalars"]),
+                                   rtol=2e-2, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(out_p["lane_masks"]),
+                                   np.asarray(out_q["lane_masks"]),
+                                   rtol=2e-2, atol=5e-2)
