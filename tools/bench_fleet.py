@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 def bench_fleet(n_streams: int, n_ticks: int = 60, depth: int = 8,
                 warmup_ticks: int = 150, dtype=jnp.bfloat16,
-                int8: bool = False) -> float:
+                int8: bool = False, pad_to: int = 0) -> float:
     from autoware_vision_pilot_tpu.models.ego_lanes import EgoLanesNetwork
     from autoware_vision_pilot_tpu.models.auto_steer_temporal import (
         AutoSteerTemporalNet)
@@ -55,7 +55,8 @@ def bench_fleet(n_streams: int, n_ticks: int = 60, depth: int = 8,
 
     cfg = Config()
     fleet = FleetLateralPipeline(lanes_vars, steer_vars, cfg,
-                                 n_streams=n_streams, dtype=dtype)
+                                 n_streams=n_streams, dtype=dtype,
+                                 pad_to=pad_to)
     states = fleet.init_states(seed=0)
 
     rng = np.random.default_rng(0)
@@ -96,14 +97,21 @@ def main():
     ap.add_argument("--streams", default="1,2,4,8")
     ap.add_argument("--ticks", type=int, default=60)
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--pad_to", type=int, default=0,
+                    help="run the device program at this physical batch "
+                         "(>= streams), slicing outputs — probes whether "
+                         "a slow batch-N conv tiling is avoidable")
     args = ap.parse_args()
 
     from autoware_vision_pilot_tpu.core.cache import setup_compilation_cache
     setup_compilation_cache(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
 
     suffix = "_int8" if args.int8 else ""
+    if args.pad_to:
+        suffix += f"_pad{args.pad_to}"
     for n in [int(s) for s in args.streams.split(",")]:
-        fps = bench_fleet(n, args.ticks, int8=args.int8)
+        fps = bench_fleet(n, args.ticks, int8=args.int8,
+                          pad_to=args.pad_to)
         print(json.dumps({
             "metric": f"fleet_lateral_{n}streams_aggregate_fps{suffix}",
             "value": round(fps, 2), "unit": "frames/sec",
