@@ -4,6 +4,7 @@ src/rerun/rerun_logger.cpp, src/camera/camera_utils.cpp:140-270,
 Models/data_utils/manual_audit_app.py)."""
 from __future__ import annotations
 
+import pathlib
 import sys
 import types
 
@@ -210,3 +211,26 @@ def test_debug_autosteer_harness(tmp_path, capsys):
     assert debug_autosteer.main(["--video", str(vid), "--frames", "3"]) == 0
     out = capsys.readouterr().out
     assert "raw logits" in out and "steering" in out
+
+
+# ---------------------------------------------------------- roofline tool
+
+def test_roofline_tail_matches_xla_flop_count():
+    """The analytic decode-path op walk (tools/roofline_tail.py) must
+    account for ~98% of the FLOPs XLA's own cost analysis reports for
+    the full SceneSeg forward (367.8 GFLOP, measured once on the CPU
+    backend) — i.e. the decode path IS the model, the premise of the
+    SCALING.md Section 1b attribution."""
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from roofline_tail import decode_path_ops
+
+    ops = decode_path_ops(320, 640)
+    assert len(ops) == 20  # 5 CT + 4 skip 1x1 + 11 decode convs
+    total_flops = sum(o["flops"] for o in ops)
+    assert 0.95 * 367.8e9 < total_flops < 367.8e9  # decode < full net
+    # the claimed wall split: MXU-dominated floor, HBM ops a minority
+    floor = sum(o["roofline_us"] for o in ops)
+    hbm = sum(o["roofline_us"] for o in ops if o["wall"] == "HBM")
+    assert hbm / floor < 0.2
+    # every op accounts positive traffic and intensity
+    assert all(o["bytes"] > 0 and o["ai"] > 0 for o in ops)
