@@ -485,3 +485,106 @@ def test_distributed_init_and_hybrid_mesh_single_process():
     mesh2 = make_hybrid_mesh(ici_axes=(2, 4),
                              axis_names=("data", "model"))
     assert mesh2.shape == {"data": 2, "model": 4}
+
+
+# ------------------------------------------------------- pseudo-labeling
+
+def _fake_depth_teacher(scale=3.0):
+    """DepthAnythingTeacher with an injected fake HF model/processor:
+    'depth' = scaled image mean, at half resolution (exercises the
+    interpolate-back + per-image min-max normalization paths)."""
+    import torch
+    import types
+    from autoware_vision_pilot_tpu.train.teachers import DepthAnythingTeacher
+
+    def processor(images, return_tensors):
+        assert return_tensors == "pt"
+        x = torch.stack([torch.from_numpy(np.asarray(im)).float()
+                         for im in images])  # (B,H,W,3)
+        return {"pixel_values": x.permute(0, 3, 1, 2)}
+
+    class FakeModel(torch.nn.Module):
+        def forward(self, pixel_values):
+            half = torch.nn.functional.avg_pool2d(pixel_values, 2)
+            depth = half.mean(dim=1) * scale  # (B, H/2, W/2)
+            return types.SimpleNamespace(predicted_depth=depth)
+
+    return DepthAnythingTeacher(encoder="vitl", model=FakeModel(),
+                                processor=processor)
+
+
+def test_depth_anything_teacher_labels():
+    """Teacher returns (B,H,W) float32 relative depth in [0,1], resized
+    back to the input resolution regardless of the model's native output
+    scale (lite_trainer_base.py:249-278 analog)."""
+    from autoware_vision_pilot_tpu.train.teachers import DepthAnythingTeacher
+
+    teacher = _fake_depth_teacher()
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (2, 16, 24, 3), dtype=np.uint8)
+    # image 0: smooth horizontal gradient (survives the fake model's
+    # half-res pooling, so monotonicity is checkable)
+    imgs[0] = np.tile(np.linspace(0, 255, 24, dtype=np.uint8)[None, :, None],
+                      (16, 1, 3))
+    labels = teacher(imgs)
+    assert labels.shape == (2, 16, 24) and labels.dtype == np.float32
+    assert labels.min() >= 0.0 and labels.max() <= 1.0 + 1e-6
+    # min-max normalization is per image: both images span [0, 1]
+    assert np.allclose(labels.min(axis=(1, 2)), 0.0, atol=1e-6)
+    assert np.allclose(labels.max(axis=(1, 2)), 1.0, atol=1e-6)
+    # ordering preserved: brighter image regions -> larger 'depth'
+    flat = imgs[0].mean(-1)
+    corr = np.corrcoef(flat.ravel(), labels[0].ravel())[0, 1]
+    assert corr > 0.9
+
+    with pytest.raises(ValueError):
+        DepthAnythingTeacher(encoder="vitg2")
+    with pytest.raises(ValueError):
+        teacher(np.zeros((16, 24, 3), np.uint8))
+
+
+def test_lite_trainer_routes_unlabeled_batches_through_teacher(tmp_path):
+    """Batches yielded with labels=None go through the pseudo_labeler and
+    train the depth head (the DepthAnythingV2 pseudo-labeling flow)."""
+    import flax.linen as fnn
+    from autoware_vision_pilot_tpu.train.lite_trainer import LiteTrainer
+
+    class TinyDepth(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, train=False):
+            h = fnn.relu(fnn.Conv(8, (3, 3), padding=1)(x))
+            return fnn.Conv(1, (3, 3), padding=1)(h)
+
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (4, 16, 24, 3), dtype=np.uint8)
+
+    def batch_iter():
+        while True:
+            yield images, None  # unlabeled: teacher must label it
+
+    cfg = {
+        "experiment": {"output_dir": str(tmp_path), "seed": 0,
+                       "wandb": {"enabled": False}},
+        "training": {"max_steps": 2, "grad_accum_steps": 2,
+                     "logging": {"log_every_steps": 1000},
+                     "save_last": False},
+        "optimizer": {"type": "adamw", "lr": 1e-3},
+        "scheduler": {"type": "none"},
+        "loss": {"type": "depth_ssi"},
+    }
+    teacher = _fake_depth_teacher()
+    calls = []
+    def counting_teacher(imgs):
+        calls.append(imgs.shape)
+        return teacher(imgs)
+
+    trainer = LiteTrainer(TinyDepth(), cfg, batch_iter, input_hw=(16, 24),
+                          pseudo_labeler=counting_teacher)
+    state = trainer.fit()
+    assert len(calls) == 2 and calls[0] == (4, 16, 24, 3)
+    assert int(state.step) == 2
+
+    # without a teacher, unlabeled batches must fail loudly
+    t2 = LiteTrainer(TinyDepth(), cfg, batch_iter, input_hw=(16, 24))
+    with pytest.raises(ValueError, match="pseudo_labeler"):
+        t2.fit()
