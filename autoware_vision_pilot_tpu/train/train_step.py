@@ -99,15 +99,25 @@ def make_seg_train_step(model, tx, loss_fn: Callable,
 
         B = images.shape[0]
         mb = microbatches
-        mb_images = images.reshape(mb, B // mb, *images.shape[1:])
-        mb_targets = targets.reshape(mb, B // mb, *targets.shape[1:])
-        rngs = jax.random.split(rng, mb)
+        if mb == 1:
+            # No accumulation: skip the scan entirely. A length-1 scan is
+            # not free — XLA:CPU compiles a while-loop whose body carries
+            # the whole gradient pytree pathologically slowly (see
+            # scan_unroll note above), and on TPU it adds loop overhead.
+            (loss, new_bs), grads = jax.value_and_grad(
+                forward_loss, has_aux=True)(
+                    state.params, state.batch_stats, images, targets, rng)
+            losses = loss[None]
+        else:
+            mb_images = images.reshape(mb, B // mb, *images.shape[1:])
+            mb_targets = targets.reshape(mb, B // mb, *targets.shape[1:])
+            rngs = jax.random.split(rng, mb)
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        (grads, new_bs), losses = jax.lax.scan(
-            micro_grads, (zero_grads, state.batch_stats),
-            (mb_images, mb_targets, rngs), unroll=scan_unroll)
-        grads = jax.tree.map(lambda g: g / mb, grads)
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, new_bs), losses = jax.lax.scan(
+                micro_grads, (zero_grads, state.batch_stats),
+                (mb_images, mb_targets, rngs), unroll=scan_unroll)
+            grads = jax.tree.map(lambda g: g / mb, grads)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

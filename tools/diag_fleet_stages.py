@@ -102,7 +102,8 @@ def main():
             @jax.jit
             def steer(salt, x):
                 _, logits = jax.vmap(
-                    lambda xi: net.apply(v, xi))(x + salt.astype(dt))
+                    lambda xi: net.apply(v, xi))(
+                        x + (salt * 1e-6).astype(dt))
                 return jnp.sum(logits.astype(jnp.float32))
 
             ms = timeit(steer, x)
@@ -120,7 +121,7 @@ def main():
 
             @jax.jit
             def lf(salt, logits, st, keys):
-                m = threshold_channels(logits + salt, 0.0)
+                m = threshold_channels(logits + salt * 1e-6, 0.0)
                 out = jax.vmap(lane_filter_update)(
                     m[..., 0], m[..., 1], m[..., 2], st, keys)
                 return jnp.sum(out[0]) + jnp.sum(out[2])
@@ -144,7 +145,7 @@ def main():
             def lt(salt, lc, rc, lv, rv, st):
                 trk, new = jax.vmap(
                     lambda a, b, c, d, e: lane_tracker_update(
-                        a + salt, b, c + salt, d, e,
+                        a + salt * 1e-6, b, c + salt * 1e-6, d, e,
                         model_hw=(80, 160), image_hw=(300, 1280)))(
                     lc, lv, rc, rv, st)
                 return jnp.sum(trk.center_coeffs)
