@@ -167,6 +167,23 @@ def int8_variables_from_qat(variables, act_scales: dict,
     return out
 
 
+def distillation_kl(teacher_logits, student_logits, axis: int = -1):
+    """Self-distillation term for QAT closure: KL(teacher || student) over
+    the class axis, mean over pixels, computed in f32.
+
+    Used with teacher = stop_gradient(float forward of the SAME params):
+    the term directly penalizes quantization-induced output deviation,
+    i.e. it optimizes the deployed int8-vs-bf16 argmax-agreement metric
+    rather than only the task loss (the reference's QAT bar is
+    accuracy-parity of the int8 export, Models/exports/README.md:19-55)."""
+    t = jax.lax.stop_gradient(teacher_logits.astype(jnp.float32))
+    s = student_logits.astype(jnp.float32)
+    tp = jax.nn.softmax(t, axis=axis)
+    return jnp.mean(jnp.sum(
+        tp * (jax.nn.log_softmax(t, axis=axis)
+              - jax.nn.log_softmax(s, axis=axis)), axis=axis))
+
+
 def make_qat_loss(model, base_loss: Callable, min_channels: int = 32,
                   quant_acts: bool = True,
                   static_scales: dict | None = None,

@@ -294,6 +294,10 @@ def main(fused: bool = False, int8: bool = False):
     window_fps.sort()
     fps = window_fps[1]
     dt = 1.0 / fps
+    # Shared-tunnel interference makes same-program windows vary up to
+    # 1.5-2x across minutes (BENCH_NOTES "round 3"); the spread is part
+    # of the honest result. spread = (max-min)/median of the 3 windows.
+    spread = (window_fps[-1] - window_fps[0]) / fps
 
     # Per-frame latency at pipeline depth 1 (dispatch -> result on host):
     # BASELINE.json's metric is "frames/sec/chip ...; p50 per-frame
@@ -329,6 +333,8 @@ def main(fused: bool = False, int8: bool = False):
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 3),
+        "window_spread": round(spread, 3),
+        "window_fps": [round(f, 1) for f in window_fps],
         "latency_ms_p50": round(p50, 2),
         "latency_ms_p99": round(p99, 2),
     }))

@@ -34,6 +34,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--float-steps", type=int, default=80)
     ap.add_argument("--qat-steps", type=int, default=80)
+    ap.add_argument("--observe-steps", type=int, default=None,
+                    help="dynamic-observer steps before freezing "
+                         "(default qat_steps//2)")
+    ap.add_argument("--distill", type=float, default=0.0,
+                    help="weight of the self-distillation KL term "
+                         "(teacher = float forward of the same params); "
+                         "directly optimizes int8-vs-bf16 agreement")
+    ap.add_argument("--qat-lr", type=float, default=5e-5)
     # 128 matches the deployed int8 perf config (bench.py --int8
     # quantizes only >=128-ch convs: smaller ones are dispatch-bound and
     # int8 there only adds error) — QAT numerics must mirror deployment
@@ -58,7 +66,8 @@ def main():
     from autoware_vision_pilot_tpu.train.metrics import (
         confusion_matrix, miou_from_confusion)
     from autoware_vision_pilot_tpu.train.qat import (
-        make_qat_loss, collect_act_scales, int8_variables_from_qat)
+        make_qat_loss, collect_act_scales, int8_variables_from_qat,
+        distillation_kl)
     from autoware_vision_pilot_tpu.export.checkpoints import save_msgpack
     from autoware_vision_pilot_tpu.ops import argmax_mask
 
@@ -103,21 +112,34 @@ def main():
     # 2a trains with dynamic per-batch activation scales and records the
     # running amax; 2b trains against the frozen static scales — the
     # exact numerics (same x_scale values) of the deployed int8 program.
-    qat_tx = optax.adamw(5e-5)  # low-LR adaptation, reference QAT style
+    qat_tx = optax.adamw(args.qat_lr)  # low-LR adaptation, reference QAT style
     qat_opt = qat_tx.init(state.params)
 
     def make_step(static_scales):
         # frozen phase also freezes BN (eval-mode running stats) — the
         # reference's full "observer freezing, batch norm freezing"
         # recipe (exports/README.md:23)
-        qat_loss = make_qat_loss(
-            model, lambda out, tgt: segmentation_ce_loss(out, tgt),
-            min_channels=args.min_ch, static_scales=static_scales,
-            freeze_bn=static_scales is not None)
-
         @jax.jit
         def qat_step(params, bs, opt, x, y, k):
             def lf(p):
+                if args.distill > 0.0:
+                    # teacher = float forward of the SAME params (the
+                    # deployment bf16 reference point); the KL term trains
+                    # the quantized forward to reproduce its decisions.
+                    teacher = model.apply(
+                        {"params": p, "batch_stats": bs}, x, train=False)
+
+                    def base(out, tgt):
+                        return (segmentation_ce_loss(out, tgt)
+                                + args.distill * distillation_kl(teacher,
+                                                                 out))
+                else:
+                    def base(out, tgt):
+                        return segmentation_ce_loss(out, tgt)
+                qat_loss = make_qat_loss(
+                    model, base,
+                    min_channels=args.min_ch, static_scales=static_scales,
+                    freeze_bn=static_scales is not None)
                 (l, mut) = qat_loss(p, bs, x, y, rngs={"dropout": k})
                 return l, mut
             (l, mut), grads = jax.value_and_grad(lf, has_aux=True)(params)
@@ -130,7 +152,8 @@ def main():
     params, bs = state.params, state.batch_stats
     act_running: dict = {}
     t0 = time.perf_counter()
-    observe_steps = args.qat_steps // 2
+    observe_steps = (args.observe_steps if args.observe_steps is not None
+                     else args.qat_steps // 2)
     step_fn = make_step(None)
     for phase_step in range(args.qat_steps):
         if phase_step == observe_steps:  # freeze observers
@@ -200,7 +223,8 @@ def main():
         "miou_int8": round(miou(pred_int8), 4),
         "miou_f32": round(miou(pred_f32), 4),
         "n_quantized_convs": len(act_running),
-        "min_ch": args.min_ch,
+        "min_ch": args.min_ch, "distill": args.distill,
+        "observe_steps": observe_steps, "qat_lr": args.qat_lr,
         "float_train_s": round(float_s, 1), "qat_train_s": round(qat_s, 1),
     }))
 
