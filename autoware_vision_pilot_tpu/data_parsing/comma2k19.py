@@ -93,6 +93,34 @@ def geodetic_to_ecef(geodetic: np.ndarray) -> np.ndarray:
     return np.stack([x, y, z], axis=-1)
 
 
+def ecef_to_geodetic(ecef: np.ndarray) -> np.ndarray:
+    """ECEF meters -> (..., 3) [lat_deg, lon_deg, alt_m], Ferrari's
+    closed-form solution (utils/coordinates.py ecef2geodetic)."""
+    p = np.asarray(ecef, np.float64)
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    a, b, esq = _WGS_A, _WGS_B, _WGS_ESQ
+    e1sq = 6.73949674228e-3
+    r = np.sqrt(x * x + y * y)
+    Esq = a * a - b * b
+    F = 54 * b * b * z * z
+    G = r * r + (1 - esq) * z * z - esq * Esq
+    C = (esq * esq * F * r * r) / G ** 3
+    S = np.cbrt(1 + C + np.sqrt(C * C + 2 * C))
+    P = F / (3 * (S + 1 / S + 1) ** 2 * G * G)
+    Q = np.sqrt(1 + 2 * esq * esq * P)
+    r0 = (-(P * esq * r) / (1 + Q)
+          + np.sqrt(0.5 * a * a * (1 + 1.0 / Q)
+                    - P * (1 - esq) * z * z / (Q * (1 + Q))
+                    - 0.5 * P * r * r))
+    U = np.sqrt((r - esq * r0) ** 2 + z * z)
+    V = np.sqrt((r - esq * r0) ** 2 + (1 - esq) * z * z)
+    Z0 = b * b * z / (a * V)
+    h = U * (1 - b * b / (a * V))
+    lat = np.degrees(np.arctan((z + e1sq * Z0) / r))
+    lon = np.degrees(np.arctan2(y, x))
+    return np.stack([lat, lon, h], axis=-1)
+
+
 def ned_matrix(lat_deg: float, lon_deg: float) -> np.ndarray:
     """NED->ECEF rotation at a geodetic anchor."""
     lat, lon = np.radians(lat_deg), np.radians(lon_deg)
@@ -100,6 +128,50 @@ def ned_matrix(lat_deg: float, lon_deg: float) -> np.ndarray:
     return np.array([[-sl * co, -so, -cl * co],
                      [-sl * so, co, -cl * so],
                      [cl, 0.0, -sl]])
+
+
+class LocalCoord:
+    """Local NED frame anchored at a geodetic/ECEF origin
+    (utils/coordinates.py LocalCoord)."""
+
+    def __init__(self, init_geodetic):
+        g = np.asarray(init_geodetic, np.float64)
+        self.init_ecef = geodetic_to_ecef(g)
+        self.ned2ecef_matrix = ned_matrix(g[0], g[1])
+        self.ecef2ned_matrix = self.ned2ecef_matrix.T
+
+    @classmethod
+    def from_geodetic(cls, init_geodetic):
+        return cls(init_geodetic)
+
+    @classmethod
+    def from_ecef(cls, init_ecef):
+        return cls(ecef_to_geodetic(init_ecef))
+
+    def ecef_to_ned(self, ecef):
+        rel = np.asarray(ecef, np.float64) - self.init_ecef
+        return rel @ self.ecef2ned_matrix.T
+
+    def ned_to_ecef(self, ned):
+        return np.asarray(ned, np.float64) @ self.ned2ecef_matrix.T + \
+            self.init_ecef
+
+    def geodetic_to_ned(self, geodetic):
+        return self.ecef_to_ned(geodetic_to_ecef(geodetic))
+
+    def ned_to_geodetic(self, ned):
+        return ecef_to_geodetic(self.ned_to_ecef(ned))
+
+
+def quat_to_euler(q: np.ndarray) -> np.ndarray:
+    """(..., 4) [w, x, y, z] -> (..., 3) [roll, pitch, yaw]
+    (utils/orientation.py quat2euler)."""
+    q = np.asarray(q, np.float64)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    roll = np.arctan2(2 * (w * x + y * z), w * w - x * x - y * y + z * z)
+    pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1.0, 1.0))
+    yaw = np.arctan2(2 * (w * z + x * y), w * w + x * x - y * y - z * z)
+    return np.stack([roll, pitch, yaw], axis=-1)
 
 
 # ---- trajectory -> image labeling ------------------------------------------
