@@ -76,24 +76,39 @@ def build_engine(cfg: Config, frame_source, sink=None,
 
 
 def compose_display_frame(res, lat_out, tracking, frame, wheel,
-                          fps: float = 0.0, crop_y: int = 420):
-    """Unified display composite (unifiedDisplayThread,
-    main.cpp:881-1005): lane overlay + tracked boxes + HUD + steering
-    wheel. `frame` is the raw BGR capture; returns the annotated copy."""
-    out = viz.draw_lane_masks(
-        frame, np.asarray(lat_out["lane_masks"], np.float32),
-        crop_y=crop_y)
+                          fps: float = 0.0, crop_y: int = 420,
+                          ego=None, wheel_gt=None):
+    """Unified display composite in the reference's exact overlay order
+    (unifiedDisplayThread, main.cpp:881-974): tracked boxes -> lane masks
+    through the cropped-ROI work-res pipeline -> display resize +
+    steering wheels (pred + CAN ground truth) -> LDW -> AEB/FCW -> CIPO
+    HUD -> frame/sync labels. `frame` is the raw BGR capture; returns
+    the annotated copy. The fps overlay is an addition over the
+    reference (it prints FPS to stdout instead)."""
+    tracked, cipo_id = (), -1
     if tracking is not None:
+        tracked = tracking.tracked_objects
         cipo_id = tracking.cipo.track_id if tracking.cipo.exists else -1
-        out = viz.draw_detections(out, tracking.tracked_objects,
-                                  cipo_track_id=cipo_id)
-    out = viz.draw_hud(out, steering_deg=res.steering_deg,
-                       set_speed=res.set_speed, fps=fps,
-                       fcw=res.fcw, aeb=res.aeb, cut_in=res.cut_in,
-                       lane_departure=res.lane_departure)
-    return viz.visualize_steering(
-        out, res.steering_deg,
-        viz.rotate_steering_wheel(wheel, res.steering_deg))
+    gt_deg = None
+    if ego is not None and getattr(ego, "valid", False) and \
+            not np.isnan(getattr(ego, "steering_angle_deg", np.nan)):
+        gt_deg = ego.steering_angle_deg
+    out = viz.unified_display_frame(
+        frame, np.asarray(lat_out["lane_masks"], np.float32),
+        tracked_objects=tracked, cipo_track_id=cipo_id,
+        steering_deg=res.steering_deg, gt_steering_deg=gt_deg,
+        wheel_pred=wheel, wheel_gt=wheel_gt if wheel_gt is not None
+        else wheel,
+        lane_departure=res.lane_departure, fcw=res.fcw, aeb=res.aeb,
+        cipo_exists=res.cipo_distance >= 0,
+        ideal_speed_ms=res.set_speed, safe_distance_m=res.safe_distance,
+        control_effort_ms2=res.accel_effort, frame_num=res.frame_num,
+        crop_y=crop_y)
+    if fps > 0:
+        import cv2
+        cv2.putText(out, f"{fps:.1f} FPS", (10, 110),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 255, 255), 2)
+    return out
 
 
 def main(argv=None):
@@ -161,13 +176,13 @@ def main(argv=None):
     from collections import deque
     frame_times = deque(maxlen=30)
 
-    def compose(res, lat_out, tracking, frame):
+    def compose(res, lat_out, tracking, frame, ego=None):
         now = time.perf_counter()
         frame_times.append(now)
         span = frame_times[-1] - frame_times[0]
         fps = (len(frame_times) - 1) / span if span > 0 else 0.0
         return compose_display_frame(res, lat_out, tracking, frame,
-                                     wheel, fps=fps)
+                                     wheel, fps=fps, ego=ego)
 
     def sink(res, lat_out, tracking, frame=None):
         if can is not None:
@@ -219,7 +234,7 @@ def main(argv=None):
         if frame is not None and (writer is not None or
                                   cfg.output.enable_viz or
                                   (rerun_log and rerun_log.enabled)):
-            composite = compose(res, lat_out, tracking, frame)
+            composite = compose(res, lat_out, tracking, frame, ego)
         if rerun_log is not None and rerun_log.enabled:
             masks = np.asarray(lat_out["lane_masks"], np.float32)
             sc = dict(zip(SCALAR_FIELDS, np.asarray(lat_out["scalars"])))

@@ -295,6 +295,7 @@ class FrameResult:
     yaw_error: float = 0.0
     set_speed: float = 0.0
     accel_effort: float = 0.0
+    safe_distance: float = 0.0
     cipo_distance: float = -1.0
     cipo_velocity: float = 0.0
     fcw: bool = False
@@ -372,6 +373,7 @@ class PipelineEngine:
                 effort = self.pid.compute_effort(sp.ego_speed, set_speed)
                 res.set_speed = set_speed
                 res.accel_effort = effort
+                res.safe_distance = sp.calc_safe_rss_distance()
                 res.fcw = sp.get_fcw_state()
                 res.aeb = sp.get_aeb_state()
                 res.cut_in = tracking.cut_in_detected

@@ -125,6 +125,155 @@ def draw_hud(frame_bgr: np.ndarray, steering_deg: float = 0.0,
     return frame_bgr
 
 
+def draw_lane_masks_roi(frame_bgr: np.ndarray, lane_masks: np.ndarray,
+                        crop_y: int = 420,
+                        work_wh=(640, 320)) -> np.ndarray:
+    """Lane overlay through the reference's exact ROI pipeline
+    (main.cpp:891-902): take the cropped region below crop_y, resize it
+    DOWN to the 640x320 working resolution, draw the masks in place
+    there, then resize back up into the region. The double resize is
+    what gives the reference display its soft mask edges."""
+    out = frame_bgr.copy()
+    region = out[crop_y:]
+    work = cv2.resize(region, work_wh)
+    for c, color in enumerate(EGO_LANES_COLORS):
+        m = cv2.resize(lane_masks[..., c], work_wh,
+                       interpolation=cv2.INTER_NEAREST) > 0.5
+        work[m] = (np.asarray(color) * 0.5 + work[m] * 0.5).astype(
+            np.uint8)
+    out[crop_y:] = cv2.resize(work, (region.shape[1], region.shape[0]))
+    return out
+
+
+def draw_safety_alerts(frame_bgr: np.ndarray, fcw: bool,
+                       aeb: bool) -> np.ndarray:
+    """AEB/FCW text alerts with the reference's exact strings, positions
+    and colors (main.cpp:930-939); AEB takes precedence."""
+    w = frame_bgr.shape[1]
+    if aeb:
+        cv2.putText(frame_bgr, "!!! AEB ACTIVE !!!",
+                    (w // 2 - 220, 120), cv2.FONT_HERSHEY_DUPLEX, 1.4,
+                    (0, 0, 255), 3)
+    elif fcw:
+        cv2.putText(frame_bgr, "! FORWARD COLLISION WARNING !",
+                    (w // 2 - 300, 120), cv2.FONT_HERSHEY_DUPLEX, 1.0,
+                    (0, 128, 255), 2)
+    return frame_bgr
+
+
+def draw_cipo_hud(frame_bgr: np.ndarray, ideal_speed_ms: float,
+                  safe_distance_m: float,
+                  control_effort_ms2: float) -> np.ndarray:
+    """Top-right CIPO HUD: set speed, RSS safe distance, color-coded
+    control effort (green accelerate / red decelerate) — main.cpp:941-965.
+    Call only when a CIPO exists, as the reference does."""
+    w = frame_bgr.shape[1]
+    cv2.putText(frame_bgr, f"Set: {ideal_speed_ms:.1f} m/s",
+                (w - 300, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.8,
+                (0, 255, 255), 2)
+    cv2.putText(frame_bgr, f"d_safe: {safe_distance_m:.1f}m",
+                (w - 300, 60), cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                (200, 200, 0), 2)
+    effort_color = (0, 255, 0) if control_effort_ms2 >= 0 else (0, 0, 255)
+    cv2.putText(frame_bgr, f"Effort: {control_effort_ms2:.2f} m/s^2",
+                (w - 300, 90), cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                effort_color, 2)
+    return frame_bgr
+
+
+def draw_frame_sync_label(frame_bgr: np.ndarray,
+                          frame_num: int) -> np.ndarray:
+    """Frame counter + SYNCHRONIZED indicator (main.cpp:968-974)."""
+    cv2.putText(frame_bgr, f"Frame: {frame_num}", (10, 30),
+                cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 255, 255), 2)
+    cv2.putText(frame_bgr, "SYNCHRONIZED", (10, 70),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 255, 0), 2)
+    return frame_bgr
+
+
+def unified_display_frame(frame_bgr: np.ndarray, lane_masks: np.ndarray,
+                          tracked_objects=(), cipo_track_id: int = -1,
+                          steering_deg: float = 0.0,
+                          gt_steering_deg: float | None = None,
+                          wheel_pred: np.ndarray | None = None,
+                          wheel_gt: np.ndarray | None = None,
+                          lane_departure: bool = False,
+                          fcw: bool = False, aeb: bool = False,
+                          cipo_exists: bool = False,
+                          ideal_speed_ms: float = 0.0,
+                          safe_distance_m: float = 0.0,
+                          control_effort_ms2: float = 0.0,
+                          frame_num: int = 0, crop_y: int = 420,
+                          display_wh=(1280, 720)) -> np.ndarray:
+    """The unified display composite in the REFERENCE's exact overlay
+    order (unifiedDisplayThread, main.cpp:881-974):
+
+      1. tracked-object boxes + CIPO on the full frame
+      2. lane masks through the cropped-ROI 640x320 work-res pipeline
+      3. resize to the display size, steering wheels (pred top-left,
+         CAN ground truth top-right when valid)
+      4. lane-departure banner
+      5. AEB / FCW alerts
+      6. CIPO HUD (set speed / d_safe / color-coded effort)
+      7. frame counter + SYNCHRONIZED label
+    """
+    out = frame_bgr.copy()
+    if tracked_objects:
+        out = draw_detections(out, tracked_objects,
+                              cipo_track_id=cipo_track_id)
+    if lane_masks is not None:
+        out = draw_lane_masks_roi(out, lane_masks, crop_y=crop_y)
+    out = cv2.resize(out, display_wh)
+    if wheel_pred is not None:
+        rot_pred = rotate_steering_wheel(wheel_pred, steering_deg)
+        rot_gt = None
+        if gt_steering_deg is not None and wheel_gt is not None:
+            rot_gt = rotate_steering_wheel(wheel_gt, gt_steering_deg)
+        out = visualize_steering(out, steering_deg, rot_pred,
+                                 gt_steering_deg, rot_gt)
+    if lane_departure:
+        out = show_lane_departure_warning(out)
+    out = draw_safety_alerts(out, fcw=fcw, aeb=aeb)
+    if cipo_exists:
+        out = draw_cipo_hud(out, ideal_speed_ms, safe_distance_m,
+                            control_effort_ms2)
+    return draw_frame_sync_label(out, frame_num)
+
+
+class FrameSyncBuffer:
+    """Frame-id matcher for split lateral/longitudinal result streams
+    (unifiedDisplayThread's lateral_buffer/long_buffer maps +
+    lag cleanup, main.cpp:868-888 and 1112-1118).
+
+    push results from either side; `pop_synced()` yields (frame_num,
+    lateral, longitudinal) pairs in order and evicts them. Either buffer
+    is capped at `max_lag` — if one pipeline stalls, the oldest unmatched
+    frames are dropped rather than growing without bound."""
+
+    def __init__(self, max_lag: int = 10):
+        self.max_lag = max_lag
+        self._lat: dict = {}
+        self._lon: dict = {}
+
+    def push_lateral(self, frame_num: int, result):
+        self._lat[frame_num] = result
+        self._trim()
+
+    def push_longitudinal(self, frame_num: int, result):
+        self._lon[frame_num] = result
+        self._trim()
+
+    def pop_synced(self):
+        ready = sorted(self._lat.keys() & self._lon.keys())
+        out = [(n, self._lat.pop(n), self._lon.pop(n)) for n in ready]
+        return out
+
+    def _trim(self):
+        for buf in (self._lat, self._lon):
+            while len(buf) > self.max_lag:
+                buf.pop(min(buf))
+
+
 def depth_to_colormap(depth01: np.ndarray) -> np.ndarray:
     """Relative depth in [0,1] -> BGR colormap image."""
     d = np.clip(np.asarray(depth01) * 255, 0, 255).astype(np.uint8)

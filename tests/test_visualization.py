@@ -152,3 +152,66 @@ def test_compose_display_frame():
     assert out.shape == frame.shape and out.dtype == np.uint8
     assert (frame == 40).all()            # input untouched
     assert (out != frame).any()           # overlay drawn
+
+
+def test_unified_display_frame_reference_order():
+    """The unified composite (main.cpp:881-974 overlay order): display
+    resize to 1280x720, CIPO HUD only when a CIPO exists, safety alerts,
+    sync labels."""
+    import numpy as np
+    from autoware_vision_pilot_tpu.utils import visualization as viz
+
+    frame = np.full((720, 1280, 3), 30, np.uint8)
+    masks = np.zeros((80, 160, 3), np.float32)
+    masks[40:, 60:70, 1] = 1.0
+    wheel = viz.make_steering_wheel_image()
+
+    base = viz.unified_display_frame(
+        frame, masks, steering_deg=5.0, wheel_pred=wheel,
+        frame_num=7, display_wh=(1280, 720))
+    assert base.shape == (720, 1280, 3)
+    assert (frame == 30).all()            # input untouched
+
+    with_hud = viz.unified_display_frame(
+        frame, masks, steering_deg=5.0, wheel_pred=wheel,
+        cipo_exists=True, ideal_speed_ms=12.3, safe_distance_m=18.0,
+        control_effort_ms2=-1.2, fcw=True, frame_num=7)
+    # the CIPO HUD + FCW text lives in the top strip; it must differ
+    # from the no-CIPO composite there
+    assert (with_hud[:130, 900:] != base[:130, 900:]).any()
+    assert (with_hud[:130, 300:800] != base[:130, 300:800]).any()  # FCW
+
+
+def test_unified_display_gt_wheel():
+    import numpy as np
+    from autoware_vision_pilot_tpu.utils import visualization as viz
+    frame = np.full((720, 1280, 3), 30, np.uint8)
+    wheel = viz.make_steering_wheel_image()
+    no_gt = viz.unified_display_frame(frame, None, wheel_pred=wheel,
+                                      steering_deg=3.0)
+    with_gt = viz.unified_display_frame(frame, None, wheel_pred=wheel,
+                                        wheel_gt=wheel, steering_deg=3.0,
+                                        gt_steering_deg=-20.0)
+    # GT wheel renders top-right only when a GT angle is provided
+    assert (no_gt[:120, -120:] != with_gt[:120, -120:]).any()
+
+
+def test_frame_sync_buffer_matches_and_trims():
+    """FrameSyncBuffer == the reference's lateral/long buffer maps with
+    the >10-frame lag cleanup (main.cpp:868-888, 1112-1118)."""
+    from autoware_vision_pilot_tpu.utils.visualization import (
+        FrameSyncBuffer)
+
+    b = FrameSyncBuffer(max_lag=3)
+    b.push_lateral(1, "L1")
+    b.push_lateral(2, "L2")
+    assert b.pop_synced() == []
+    b.push_longitudinal(2, "G2")
+    assert b.pop_synced() == [(2, "L2", "G2")]
+    # frame 1 lateral still waits; lag cleanup evicts the oldest when
+    # one side runs ahead
+    for n in range(3, 8):
+        b.push_lateral(n, f"L{n}")
+    assert 1 not in b._lat and len(b._lat) == 3
+    b.push_longitudinal(7, "G7")
+    assert b.pop_synced() == [(7, "L7", "G7")]
