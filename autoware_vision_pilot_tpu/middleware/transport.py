@@ -11,6 +11,7 @@ tests and single-process deployments.
 from __future__ import annotations
 
 import threading
+import time
 from collections import defaultdict
 from typing import Any, Callable, Dict, List, Optional
 
@@ -158,6 +159,93 @@ class ZenohTransport(Transport):
         self._session.close()
 
 
+class Iox2Transport(Transport):
+    """Zero-copy shared-memory transport with the iceoryx2 recipe's
+    service contract (IceOryx2/README.md:6-12): topic "raw_frames" maps
+    to service VisionPilot/RawFrames (numpy BGR frames), topic "cipo"
+    to VisionPilot/CIPO (CIPOMessage dicts). Payloads ride the host
+    shim's seqlock slot ring (host/src/iox2.cpp) — no serialization,
+    interoperable with the native iox2_*_node binaries."""
+
+    _TOPICS = {"raw_frames": "VisionPilot/RawFrames",
+               "cipo": "VisionPilot/CIPO"}
+
+    def __init__(self, publish_topics=(), n_slots: int = 4):
+        from ..host import iox2 as hx
+        self._hx = hx
+        self._pubs = {}
+        self._sub_svcs = {}
+        self._callbacks = {}
+        self._n_slots = n_slots
+        self._frame_ids = {}
+        for t in publish_topics:
+            self._pubs[t] = hx.Iox2Service(
+                self._service(t), self._struct(t), n_slots, create=True)
+
+    def _service(self, topic: str) -> str:
+        key = topic.lstrip("/")
+        if key not in self._TOPICS:
+            raise ValueError(f"iox2 transport has no service for {topic!r}")
+        return self._TOPICS[key]
+
+    def _struct(self, topic: str):
+        key = topic.lstrip("/")
+        return (self._hx.RawFrameStruct if key == "raw_frames"
+                else self._hx.CIPOMessageStruct)
+
+    def publish(self, topic, msg):
+        key = topic.lstrip("/")
+        if topic not in self._pubs:
+            self._pubs[topic] = self._hx.Iox2Service(
+                self._service(topic), self._struct(topic), self._n_slots,
+                create=True)
+        svc = self._pubs[topic]
+        if key == "raw_frames":
+            fid = self._frame_ids.get(topic, 0)
+            self._hx.publish_frame(svc, msg, fid)
+            self._frame_ids[topic] = fid + 1
+        else:
+            m = svc.loan()
+            for k, v in msg.items():
+                setattr(m, k, v)
+            m.publish_timestamp_ns = time.monotonic_ns()
+            svc.publish()
+
+    def subscribe(self, topic, callback):
+        if topic not in self._sub_svcs:
+            self._sub_svcs[topic] = self._hx.Iox2Service(
+                self._service(topic), self._struct(topic), self._n_slots,
+                create=False)
+        self._callbacks.setdefault(topic, []).append(callback)
+
+    def spin_once(self, timeout: float = 0.0):
+        deadline = time.monotonic() + timeout
+        delivered = False
+        while True:
+            for topic, svc in self._sub_svcs.items():
+                key = topic.lstrip("/")
+                if key == "raw_frames":
+                    got = self._hx.receive_frame(svc)
+                    if got is not None:
+                        delivered = True
+                        for cb in self._callbacks.get(topic, []):
+                            cb(got[0])
+                else:
+                    m = svc.receive()
+                    if m is not None:
+                        delivered = True
+                        d = {k: getattr(m, k) for k, _ in m._fields_}
+                        for cb in self._callbacks.get(topic, []):
+                            cb(d)
+            if delivered or time.monotonic() >= deadline:
+                return
+            time.sleep(0.001)
+
+    def close(self):
+        for svc in list(self._pubs.values()) + list(self._sub_svcs.values()):
+            svc.close()
+
+
 def make_transport(kind: str = "inproc", **kw) -> Transport:
     if kind == "inproc":
         return InProcTransport()
@@ -165,4 +253,6 @@ def make_transport(kind: str = "inproc", **kw) -> Transport:
         return Ros2Transport(**kw)
     if kind == "zenoh":
         return ZenohTransport(**kw)
+    if kind == "iox2":
+        return Iox2Transport(**kw)
     raise ValueError(f"unknown transport {kind}")

@@ -115,6 +115,15 @@ def main():
     qat_tx = optax.adamw(args.qat_lr)  # low-LR adaptation, reference QAT style
     qat_opt = qat_tx.init(state.params)
 
+    # Distillation teacher = SNAPSHOT of the converged float model.
+    # (A self-referential teacher — float forward of the current params —
+    # diverges: stop_gradient blocks the gradient but the teacher's VALUE
+    # drifts with every update, and student/teacher co-adapt away from
+    # the task. Measured: distill=1.0 self-teacher collapsed to
+    # agreement 0.839 / qat_loss 9.6.)
+    teacher_params = jax.tree.map(jnp.copy, state.params)
+    teacher_bs = jax.tree.map(jnp.copy, state.batch_stats)
+
     def make_step(static_scales):
         # frozen phase also freezes BN (eval-mode running stats) — the
         # reference's full "observer freezing, batch norm freezing"
@@ -123,11 +132,12 @@ def main():
         def qat_step(params, bs, opt, x, y, k):
             def lf(p):
                 if args.distill > 0.0:
-                    # teacher = float forward of the SAME params (the
-                    # deployment bf16 reference point); the KL term trains
-                    # the quantized forward to reproduce its decisions.
+                    # teacher = frozen float forward (the deployment bf16
+                    # reference point); the KL term trains the quantized
+                    # forward to reproduce its decisions.
                     teacher = model.apply(
-                        {"params": p, "batch_stats": bs}, x, train=False)
+                        {"params": teacher_params,
+                         "batch_stats": teacher_bs}, x, train=False)
 
                     def base(out, tgt):
                         return (segmentation_ce_loss(out, tgt)
