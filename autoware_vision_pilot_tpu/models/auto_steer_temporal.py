@@ -39,7 +39,12 @@ class AutoSteerTemporalNet(fnn.Module):
         h = silu(Conv2d(64, 3, 2, 1, name="c2", **kw)(h))      # 20x40
         h = silu(Conv2d(128, 3, 2, 1, name="c3", **kw)(h))     # 10x20
         h = silu(Conv2d(128, 3, 2, 1, name="c4", **kw)(h))     # 5x10
-        feat = jnp.mean(h, axis=(1, 2))                        # (B, 128)
+        # steering is a lateral-localization task: keep the spatial map
+        # (a global pool would erase the lane offset/curvature position
+        # signal — measured: mean-pool head plateaus at chance on the
+        # synthetic curved-lane task, tools/e2e_autosteer_demo.py)
+        h = silu(Conv2d(32, 1, 1, 0, name="c5", **kw)(h))      # 5x10x32
+        feat = h.reshape((h.shape[0], -1))                     # (B, 1600)
         feat = silu(Linear(256, name="fc", **kw)(feat))
         prev = Linear(NUM_CLASSES, name="head_prev", **kw)(feat)
         curr = Linear(NUM_CLASSES, name="head_curr", **kw)(feat)
