@@ -93,7 +93,8 @@ class QuantizedInference:
 
 
 def quantize_variables_for_int8_conv(variables, min_channels: int = 32,
-                                     quantize_transpose: bool = False):
+                                     quantize_transpose: bool = False,
+                                     act_scales: dict | None = None):
     """Transform a variables tree for the native int8 MXU conv path.
 
     Every Conv2d kernel leaf named 'w' (rank 4, HWIO) with at least
@@ -103,24 +104,39 @@ def quantize_variables_for_int8_conv(variables, min_channels: int = 32,
     MXU, 2x bf16 throughput on v5e). Small convs (tiny C_in, e.g. the
     context blocks) stay float — they are dispatch-bound, not MXU-bound.
 
+    act_scales: optional {module-path-tuple: scale} of calibrated
+    activation scales. VECTOR scales (per-input-channel) are folded into
+    the weights before weight quantization (w' = w * s_c), so the
+    deployed conv dequantizes with w_scale alone — see
+    nn.layers.Conv2d's vector-x_scale branch. Scalar scales are stored
+    as-is.
+
     ConvTranspose/Linear kernels ('wt'/'wl') are left in float (the
     decoder transposed convs are a minority of FLOPs).
     """
     import jax.numpy as _jnp
 
-    def walk(node):
+    def walk(node, path=()):
         if not isinstance(node, dict):
             return node
         out = {}
         for k, v in node.items():
             if isinstance(v, dict):
-                out[k] = walk(v)
+                out[k] = walk(v, path + (k,))
             else:
                 out[k] = v
         if "w" in out and hasattr(out["w"], "ndim") and out["w"].ndim == 4 \
                 and jnp.issubdtype(out["w"].dtype, jnp.floating) \
                 and out["w"].shape[2] >= min_channels:
             w = out["w"].astype(_jnp.float32)
+            sx = (act_scales or {}).get(path)
+            if sx is not None and getattr(_jnp.asarray(sx), "ndim", 0) == 1:
+                # fold per-input-channel activation scales into the
+                # kernel: conv(round(x/s_c), w * s_c) == conv(x, w)
+                w = w * _jnp.asarray(sx, _jnp.float32)[None, None, :, None]
+                out["x_scale"] = _jnp.asarray(sx, _jnp.float32)
+            elif sx is not None:
+                out["x_scale"] = _jnp.asarray(sx, _jnp.float32)
             amax = _jnp.max(_jnp.abs(w), axis=(0, 1, 2))
             scale = _jnp.maximum(amax, 1e-8) / 127.0
             out["w_scale"] = scale

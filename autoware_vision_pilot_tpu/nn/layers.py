@@ -89,16 +89,27 @@ class Conv2d(fnn.Module):
                                  (self.features,), jnp.float32)
             xf = x.astype(jnp.float32)
             if self.has_variable("params", "x_scale"):
-                sx = self.param("x_scale", fnn.initializers.ones,
-                                (), jnp.float32)
+                # read via get_variable: the scale may be a scalar
+                # (per-tensor) or a (cin,) vector (per-input-channel —
+                # export folds it into the quantized weights, so the
+                # dequant epilogue stays one per-output multiply)
+                sx = jnp.asarray(
+                    self.get_variable("params", "x_scale"), jnp.float32)
             else:
                 amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
                 self.sow("intermediates", "act_amax", amax)
                 sx = amax / 127.0
-            xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+            if sx.ndim == 1:
+                xq = jnp.clip(jnp.round(xf / sx[None, None, None, :]),
+                              -127, 127).astype(jnp.int8)
+                dequant = w_scale
+            else:
+                xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(
+                    jnp.int8)
+                dequant = sx * w_scale
             y32 = lax.conv_general_dilated(
                 xq, w, preferred_element_type=jnp.int32, **conv_kw)
-            y = y32.astype(jnp.float32) * (sx * w_scale)
+            y = y32.astype(jnp.float32) * dequant
             y = y.astype(dtype)
         else:
             y = lax.conv_general_dilated(

@@ -66,13 +66,19 @@ def fake_quant_params(params, min_channels: int = 32):
 def fake_quant_ste_static(x, scale):
     """Symmetric int8 fake-quant with a FIXED scale (frozen observer) and
     straight-through gradients — the exact numerics of the deployed
-    static-x_scale int8 conv path (nn.layers.Conv2d)."""
+    static-x_scale int8 conv path (nn.layers.Conv2d). scale may be a
+    scalar (per-tensor) or a (C,) vector (per-input-channel) for NHWC
+    activations."""
+    scale = jnp.asarray(scale, x.dtype)
+    if scale.ndim == 1:
+        scale = scale.reshape((1,) * (x.ndim - 1) + (-1,))
     q = jnp.clip(jnp.round(x / scale), -127, 127) * scale
     return x + jax.lax.stop_gradient(q - x)
 
 
 def make_act_quant_interceptor(min_channels: int = 32,
-                               static_scales: dict | None = None):
+                               static_scales: dict | None = None,
+                               per_channel: bool = False):
     """flax intercept_methods hook fake-quanting every Conv2d input and
     sowing the activation amax so static deployment scales can be read
     back.
@@ -82,7 +88,11 @@ def make_act_quant_interceptor(min_channels: int = 32,
     reference PT2E flow's observer-freezing phase,
     exports/README.md:19-55): the fake-quant uses the exact static
     scale the deployed int8 program will use, closing the train/deploy
-    numerics gap."""
+    numerics gap.
+
+    per_channel=True observes/quantizes activations per input channel
+    (amax over N,H,W) — the export folds the vector scale into the
+    weights (quantize_variables_for_int8_conv act_scales)."""
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
         if (isinstance(m, Conv2d) and context.method_name == "__call__"
@@ -92,14 +102,19 @@ def make_act_quant_interceptor(min_channels: int = 32,
                 and jnp.issubdtype(args[0].dtype, jnp.floating)):
             x = args[0]
             xf = x.astype(jnp.float32)
-            amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
+            if per_channel:
+                amax = jnp.maximum(
+                    jnp.max(jnp.abs(xf), axis=(0, 1, 2)), 1e-6)
+            else:
+                amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6)
             m.sow("intermediates", "qat_act_amax", amax)
             if static_scales is not None:
                 s = static_scales.get(tuple(m.path))
                 xq = (xf if s is None
                       else fake_quant_ste_static(xf, s)).astype(x.dtype)
             else:
-                xq = fake_quant_ste(xf).astype(x.dtype)
+                axis = (0, 1, 2) if per_channel else None
+                xq = fake_quant_ste(xf, axis=axis).astype(x.dtype)
             args = (xq,) + args[1:]
         return next_fun(*args, **kwargs)
 
@@ -108,7 +123,7 @@ def make_act_quant_interceptor(min_channels: int = 32,
 
 def qat_apply(model, variables, *args, min_channels: int = 32,
               quant_acts: bool = True, static_scales: dict | None = None,
-              **kwargs):
+              per_channel_act: bool = False, **kwargs):
     """model.apply with QAT numerics: fake-quanted conv kernels, and
     (optionally) fake-quanted conv input activations. Drop-in inside any
     loss function; gradients flow straight-through.
@@ -121,20 +136,31 @@ def qat_apply(model, variables, *args, min_channels: int = 32,
     if not quant_acts:
         return model.apply(v, *args, **kwargs)
     with fnn.intercept_methods(
-            make_act_quant_interceptor(min_channels, static_scales)):
+            make_act_quant_interceptor(min_channels, static_scales,
+                                       per_channel=per_channel_act)):
         return model.apply(v, *args, **kwargs)
 
 
 def collect_act_scales(intermediates) -> dict:
-    """Extract {module-path-tuple: amax/127} from sown qat_act_amax."""
+    """Extract {module-path-tuple: amax/127} from sown qat_act_amax.
+    Scalar observers yield float scales; per-channel observers yield
+    (C,) numpy vectors (elementwise max over sow entries)."""
+    import numpy as _np
     scales = {}
 
     def walk(node, path):
         for k, v in node.items():
             if k == "qat_act_amax":
                 vals = v if isinstance(v, (tuple, list)) else [v]
-                amax = max(float(jnp.max(jnp.asarray(x))) for x in vals)
-                scales[tuple(path)] = amax / 127.0
+                arrs = [_np.asarray(x) for x in vals]
+                if arrs[0].ndim == 0:
+                    amax = max(float(a) for a in arrs)
+                    scales[tuple(path)] = amax / 127.0
+                else:
+                    amax = arrs[0]
+                    for a in arrs[1:]:
+                        amax = _np.maximum(amax, a)
+                    scales[tuple(path)] = amax / 127.0
             elif isinstance(v, dict):
                 walk(v, path + [k])
 
@@ -146,25 +172,14 @@ def int8_variables_from_qat(variables, act_scales: dict,
                             min_channels: int = 32):
     """Convert QAT-trained float variables + recorded activation scales
     into the deployment int8 format (int8 'w' + 'w_scale' + static
-    'x_scale' leaves) consumed natively by nn.layers.Conv2d."""
+    'x_scale' leaves) consumed natively by nn.layers.Conv2d. Vector
+    (per-channel) activation scales are folded into the weights by
+    quantize_variables_for_int8_conv."""
     from ..export.quantize import quantize_variables_for_int8_conv
 
-    out = quantize_variables_for_int8_conv(variables,
-                                           min_channels=min_channels)
-    params = out["params"]
-
-    def insert(path, scale):
-        node = params
-        for p in path:
-            if p not in node:
-                return
-            node = node[p]
-        if "w_scale" in node:  # only convs actually quantized
-            node["x_scale"] = jnp.asarray(scale, jnp.float32)
-
-    for path, s in act_scales.items():
-        insert(path, s)
-    return out
+    return quantize_variables_for_int8_conv(variables,
+                                            min_channels=min_channels,
+                                            act_scales=act_scales)
 
 
 def distillation_kl(teacher_logits, student_logits, axis: int = -1):
@@ -187,7 +202,8 @@ def distillation_kl(teacher_logits, student_logits, axis: int = -1):
 def make_qat_loss(model, base_loss: Callable, min_channels: int = 32,
                   quant_acts: bool = True,
                   static_scales: dict | None = None,
-                  freeze_bn: bool = False):
+                  freeze_bn: bool = False,
+                  per_channel_act: bool = False):
     """Wrap a standard `loss(apply_fn, params, batch) -> scalar`-style
     closure: the returned callable has the signature
     ``loss(params, batch_stats, x, *loss_args, rngs=None)`` and runs the
@@ -208,7 +224,8 @@ def make_qat_loss(model, base_loss: Callable, min_channels: int = 32,
                 model, variables, x, train=False,
                 mutable=["intermediates"], rngs=rngs,
                 min_channels=min_channels, quant_acts=quant_acts,
-                static_scales=static_scales)
+                static_scales=static_scales,
+                per_channel_act=per_channel_act)
             mut = dict(mut)
             mut["batch_stats"] = batch_stats
         else:
@@ -216,7 +233,8 @@ def make_qat_loss(model, base_loss: Callable, min_channels: int = 32,
                 model, variables, x, train=True,
                 mutable=["batch_stats", "intermediates"], rngs=rngs,
                 min_channels=min_channels, quant_acts=quant_acts,
-                static_scales=static_scales)
+                static_scales=static_scales,
+                per_channel_act=per_channel_act)
         return base_loss(out, *loss_args), mut
 
     return loss

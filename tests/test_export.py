@@ -187,3 +187,78 @@ def test_int8_conv_transpose_path():
     out = m.apply(v8, x)
     rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
     assert rel < 0.05, rel
+
+
+def test_int8_per_channel_act_scales_fold_exactly():
+    """Per-input-channel activation scales: the export folds s_c into
+    the quantized weights (quantize_variables_for_int8_conv act_scales),
+    the deployed Conv2d consumes the vector x_scale, and on activations
+    with wildly disparate channel amplitudes the per-channel config
+    beats per-tensor int8 accuracy."""
+    from autoware_vision_pilot_tpu.nn.layers import Conv2d
+    from autoware_vision_pilot_tpu.export.quantize import (
+        quantize_variables_for_int8_conv)
+    import flax.linen as fnn2
+
+    class Net(fnn2.Module):
+        @fnn2.compact
+        def __call__(self, x, train=False):
+            return Conv2d(32, 3, 1, 1, name="c1")(x)
+
+    m = Net()
+    rng = np.random.default_rng(1)
+    # channel amplitudes spanning 3 orders of magnitude: per-tensor int8
+    # crushes the quiet channels to zero
+    amp = np.logspace(-2, 1, 48).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(1, 16, 32, 48)).astype(np.float32)
+                    * amp)
+    v = m.init(jax.random.key(0), x)
+    ref = np.asarray(m.apply(v, x))
+
+    per_tensor = quantize_variables_for_int8_conv(
+        v, act_scales={("c1",): float(np.abs(np.asarray(x)).max() / 127)})
+    vec = np.abs(np.asarray(x)).max(axis=(0, 1, 2)) / 127.0
+    per_chan = quantize_variables_for_int8_conv(
+        v, act_scales={("c1",): vec.astype(np.float32)})
+
+    assert per_chan["params"]["c1"]["x_scale"].ndim == 1
+    out_pt = np.asarray(m.apply(per_tensor, x))
+    out_pc = np.asarray(m.apply(per_chan, x))
+    err_pt = np.abs(out_pt - ref).max()
+    err_pc = np.abs(out_pc - ref).max()
+    assert err_pc < err_pt, (err_pc, err_pt)
+    rel = err_pc / max(np.abs(ref).max(), 1e-6)
+    assert rel < 0.05, rel
+
+
+def test_qat_per_channel_observers_roundtrip():
+    """Per-channel QAT observers sow (C,) amax vectors; collect ->
+    int8_variables_from_qat produces a deployable tree whose forward
+    tracks the QAT fake-quant forward."""
+    from autoware_vision_pilot_tpu.nn.layers import Conv2d
+    from autoware_vision_pilot_tpu.train.qat import (
+        qat_apply, collect_act_scales, int8_variables_from_qat)
+    import flax.linen as fnn2
+
+    class Net(fnn2.Module):
+        @fnn2.compact
+        def __call__(self, x, train=False):
+            h = Conv2d(64, 3, 1, 1, name="c1")(x)
+            h = fnn2.relu(h)
+            return Conv2d(32, 3, 1, 1, name="c2")(h)
+
+    m = Net()
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 16, 32, 48)).astype(np.float32))
+    v = m.init(jax.random.key(0), x)
+    _, mut = qat_apply(m, v, x, mutable=["intermediates"],
+                       min_channels=32, per_channel_act=True)
+    scales = collect_act_scales(mut["intermediates"])
+    assert all(np.asarray(s).ndim == 1 for s in scales.values())
+    int8_v = int8_variables_from_qat(v, scales, min_channels=32)
+    assert int8_v["params"]["c1"]["w"].dtype == jnp.int8
+    assert int8_v["params"]["c1"]["x_scale"].ndim == 1
+    ref = np.asarray(m.apply(v, x))
+    out = np.asarray(m.apply(int8_v, x))
+    rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert rel < 0.06, rel

@@ -46,6 +46,10 @@ def main():
     # quantizes only >=128-ch convs: smaller ones are dispatch-bound and
     # int8 there only adds error) — QAT numerics must mirror deployment
     ap.add_argument("--min-ch", type=int, default=128)
+    ap.add_argument("--per-ch-act", action="store_true",
+                    help="per-input-channel activation scales (observed "
+                         "per channel, folded into the int8 weights at "
+                         "export) instead of per-tensor")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="/tmp/qat_closure")
     args = ap.parse_args()
@@ -149,7 +153,8 @@ def main():
                 qat_loss = make_qat_loss(
                     model, base,
                     min_channels=args.min_ch, static_scales=static_scales,
-                    freeze_bn=static_scales is not None)
+                    freeze_bn=static_scales is not None,
+                    per_channel_act=args.per_ch_act)
                 (l, mut) = qat_loss(p, bs, x, y, rngs={"dropout": k})
                 return l, mut
             (l, mut), grads = jax.value_and_grad(lf, has_aux=True)(params)
@@ -178,7 +183,9 @@ def main():
             params, bs, qat_opt, xb, yb, k)
         if phase_step < observe_steps:
             for path, s in collect_act_scales(inter).items():
-                act_running[path] = max(act_running.get(path, 0.0), s)
+                prev = act_running.get(path)
+                act_running[path] = (s if prev is None
+                                     else np.maximum(prev, s))
     qat_s = time.perf_counter() - t0
     qat_loss_v = float(qloss)
     print(f"[qat_closure] qat phase done ({qat_s:.0f}s)", flush=True)
@@ -234,6 +241,7 @@ def main():
         "miou_f32": round(miou(pred_f32), 4),
         "n_quantized_convs": len(act_running),
         "min_ch": args.min_ch, "distill": args.distill,
+        "per_ch_act": bool(args.per_ch_act),
         "observe_steps": observe_steps, "qat_lr": args.qat_lr,
         "float_train_s": round(float_s, 1), "qat_train_s": round(qat_s, 1),
     }))
