@@ -23,12 +23,20 @@ class EgoLanesNetwork(fnn.Module):
     param_dtype: Any = jnp.float32
     precision: Any = None
     ctx_hw: tuple = (10, 20)
+    # B0_DRYRUN_STAGES for compile-cheap test/dryrun configs (same taps
+    # and strides, so the fusion/neck/head and the 80x160 mask contract
+    # are exercised unchanged — only backbone depth shrinks)
+    backbone_stages: Any = None
 
     @fnn.compact
     def __call__(self, image, train: bool = False):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   precision=self.precision)
-        features = EfficientNetB0Features(name="BEVBackbone", **kw)(
+        if self.backbone_stages is not None:
+            kw_bb = dict(kw, stages=self.backbone_stages)
+        else:
+            kw_bb = kw
+        features = EfficientNetB0Features(name="BEVBackbone", **kw_bb)(
             image, train=train)
         fused = BackboneFeatureFusion(name="BackboneFeatureFusion")(features)
         context = ContextBlock(1456, *self.ctx_hw, name="AutoSteerContext",

@@ -34,15 +34,21 @@ import jax.numpy as jnp
 from jax import lax
 
 # --- constants (lane_filter.hpp:30-63) ---
-ROI_Y_MIN = 40
-ROI_Y_MAX = 79
+# The reference fixes the start-point ROI to rows 40..79 of the 80-row
+# mask and switches window width / strictness at row 40 — i.e. the lower
+# half. Derived from the mask height here so the identical program runs
+# at the tiny test geometry; at the production 80x160 mask the values
+# are exactly the reference's.
+
+
+def _roi_y_min(h: int) -> int:
+    return h // 2
 WIN_H = 4
 MIN_WIN_W = 1
 MAX_WIN_W = 6
 MIN_PIXELS_FOR_FIT = 4
 EMPTY_THRESHOLD = 12
-HEIGHT_THRESHOLD = 40
-PRIORITY_Y_THRESHOLD = 40
+
 RANSAC_ITERS = 50
 RANSAC_THRESHOLD = 2.0
 SMOOTHING = 0.5
@@ -82,7 +88,7 @@ def _find_start(ego, is_left, width):
     else:
         valid_x = cols >= mid
         xkey = jnp.where(valid_x, w - cols, -1)  # prefer smaller x
-    roi = ego[ROI_Y_MIN:ROI_Y_MAX + 1] > 0.5
+    roi = ego[_roi_y_min(h):] > 0.5
     rowhit = jnp.any(roi & valid_x[None, :], axis=1)  # (roi_h,)
     # bottom-most hit row
     roi_h = roi.shape[0]
@@ -93,7 +99,7 @@ def _find_start(ego, is_left, width):
     rowmask = roi[row]
     key = jnp.where(rowmask, xkey, -1)
     x = jnp.argmax(key)
-    y = row + ROI_Y_MIN
+    y = row + _roi_y_min(h)
     return x.astype(jnp.int32), y.astype(jnp.int32), found
 
 
@@ -120,7 +126,7 @@ def _sliding_search(ego, other, start_xy, found):
             oob |= (py < 0) if step_y < 0 else (py >= h)
             stopped = stopped | oob
 
-            cur_w = jnp.where(py < HEIGHT_THRESHOLD, MIN_WIN_W, MAX_WIN_W)
+            cur_w = jnp.where(py < h // 2, MIN_WIN_W, MAX_WIN_W)
             if step_y < 0:
                 wy0 = jnp.maximum(0, py - WIN_H)
                 wy1 = py
@@ -131,7 +137,7 @@ def _sliding_search(ego, other, start_xy, found):
             wx1 = jnp.minimum(w, px + cur_w)
 
             in_win = (ys >= wy0) & (ys < wy1) & (xs >= wx0) & (xs < wx1)
-            strict = py < PRIORITY_Y_THRESHOLD
+            strict = py < h // 2
 
             ego_win = in_win & ego_b
             oth_win = in_win & other_b & ~strict

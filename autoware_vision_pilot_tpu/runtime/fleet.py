@@ -37,8 +37,8 @@ __all__ = ["FleetLateralPipeline", "FleetLongitudinalPipeline",
            "FleetEngine", "unpack_fleet_scalars", "SCALAR_FIELDS"]
 
 
-def _stack_states(n: int, seed: int) -> LateralState:
-    base = init_lateral_state(seed)
+def _stack_states(n: int, seed: int, mask_hw=(80, 160)) -> LateralState:
+    base = init_lateral_state(seed, mask_hw=mask_hw)
     stacked = jax.tree.map(
         lambda x: jnp.stack([x] * n), base,
         is_leaf=lambda x: isinstance(x, jnp.ndarray))
@@ -57,7 +57,8 @@ class FleetLateralPipeline:
 
     def __init__(self, lanes_vars, autosteer_vars, cfg: Config,
                  n_streams: int, frame_hw=(720, 1280), crop_y: int = 420,
-                 dtype=jnp.bfloat16, mesh=None, pad_to: int = 0):
+                 dtype=jnp.bfloat16, mesh=None, pad_to: int = 0,
+                 net_hw=(320, 640), lanes_net=None):
         """pad_to > n_streams runs the device program at a larger
         PHYSICAL batch (padding streams carry zero frames and their own
         dead state) and slices outputs back to n_streams — a serving
@@ -69,9 +70,11 @@ class FleetLateralPipeline:
         self.n_streams = n_streams
         self.pad_to = max(pad_to, n_streams) if pad_to else n_streams
         self.mesh = mesh
+        self._mask_hw = (net_hw[0] // 4, net_hw[1] // 4)
         step = build_lateral_step(lanes_vars, autosteer_vars, cfg,
                                   frame_hw=frame_hw, crop_y=crop_y,
-                                  dtype=dtype)
+                                  dtype=dtype, net_hw=net_hw,
+                                  lanes_net=lanes_net)
         vstep = jax.vmap(step)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -93,7 +96,8 @@ class FleetLateralPipeline:
             self._step = jax.jit(vstep, donate_argnums=(1,))
 
     def init_states(self, seed: int = 0) -> LateralState:
-        return self._shard(_stack_states(self.pad_to, seed))
+        return self._shard(_stack_states(self.pad_to, seed,
+                                         mask_hw=self._mask_hw))
 
     def __call__(self, frames_u8, states):
         return self._step(self._shard(frames_u8), states)

@@ -114,15 +114,22 @@ SCALAR_FIELDS = ("steering_filtered", "steering_raw", "autosteer_deg",
 
 def build_lateral_step(lanes_vars, autosteer_vars, cfg: Config,
                        frame_hw=(720, 1280), crop_y: int = 420,
-                       dtype=jnp.bfloat16):
+                       dtype=jnp.bfloat16, net_hw=(320, 640),
+                       lanes_net=None):
     """Build the fused per-frame lateral step function.
 
     Returns step(frame_u8, state) -> (outputs dict, new LateralState) —
     pure and jittable; `LateralPipeline` jits it directly, the fleet
     serving mode (`runtime/fleet.py`) vmaps it over independent streams.
+
+    net_hw is the EgoLanes input size (production 320x640; the fast
+    test tier runs the identical step at 96x192 with a dryrun-depth
+    `lanes_net` — state must then come from
+    init_lateral_state(mask_hw=net_hw/4)).
     """
     kw = dict(dtype=dtype, param_dtype=dtype)
-    lanes = EgoLanesNetwork(**kw)
+    mask_hw = (net_hw[0] // 4, net_hw[1] // 4)
+    lanes = lanes_net if lanes_net is not None else EgoLanesNetwork(**kw)
     steer_net = AutoSteerTemporalNet(**kw)
     s = cfg.steering
     K = (s.Kp, s.Ki, s.Kd, s.Ks)
@@ -131,7 +138,7 @@ def build_lateral_step(lanes_vars, autosteer_vars, cfg: Config,
 
     def step(frame_u8, state: LateralState):
         cropped = frame_u8[crop_y:]
-        x = preprocess_imagenet(cropped[None], (320, 640), dtype=dtype)
+        x = preprocess_imagenet(cropped[None], net_hw, dtype=dtype)
         lane_logits = lanes.apply(lanes_vars, x)[0]          # (80,160,3)
         lane_logits32 = lane_logits.astype(jnp.float32)
 
@@ -152,7 +159,7 @@ def build_lateral_step(lanes_vars, autosteer_vars, cfg: Config,
 
         trk, lt_state = lane_tracker_update(
             lc, lv, rc, rv, state.lane_tracker,
-            model_hw=(80, 160),
+            model_hw=mask_hw,
             image_hw=(frame_hw[0] - crop_y, frame_hw[1]))
 
         left_m = bev_pixels_to_meters(trk.bev_left_pts)
@@ -195,9 +202,9 @@ def build_lateral_step(lanes_vars, autosteer_vars, cfg: Config,
     return step
 
 
-def init_lateral_state(seed: int = 0) -> LateralState:
+def init_lateral_state(seed: int = 0, mask_hw=(80, 160)) -> LateralState:
     return LateralState(
-        prev_lane_raw=jnp.zeros((80, 160, 3), jnp.float32),
+        prev_lane_raw=jnp.zeros(mask_hw + (3,), jnp.float32),
         lane_filter=LaneFilterState.init(),
         lane_tracker=LaneTrackerState.init(),
         bayes=BayesState.init(),

@@ -69,6 +69,7 @@ def test_assigner_assigns_inside_anchors():
     np.testing.assert_allclose(np.asarray(tb)[0][fg][0], [0, 0, 4, 4])
 
 
+@pytest.mark.heavy
 def test_detection_loss_finite_and_trains():
     rng = jax.random.key(0)
     B, nc, reg_max = 2, 4, 16
@@ -98,6 +99,7 @@ def test_detection_loss_finite_and_trains():
     assert float(loss_of(outs2)) < float(total)
 
 
+@pytest.mark.heavy
 def test_detection_loss_no_gt():
     B, nc, reg_max = 1, 4, 16
     shapes = [(4, 8)]

@@ -52,6 +52,7 @@ def test_build_lite_model_unetplusplus():
     ("EgoLanesLite.yaml", "lanes", "mean_lane_iou"),
     ("Scene3DLite.yaml", "depth", "absrel"),
 ])
+@pytest.mark.heavy
 def test_eval_lite_synthetic(tmp_path, config, task, metric):
     out = tmp_path / "summary.json"
     summary = eval_lite.main([
@@ -64,6 +65,7 @@ def test_eval_lite_synthetic(tmp_path, config, task, metric):
     assert json.loads(out.read_text())[metric] == summary[metric]
 
 
+@pytest.mark.heavy
 def test_eval_lite_onnx_weights(tmp_path):
     """--onnx path: weights written as a .onnx artifact load through
     convert/onnx_import and produce identical metrics to the random-init

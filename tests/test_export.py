@@ -110,6 +110,7 @@ def test_int8_conv_path_close_to_float():
     assert rel < 0.05, rel
 
 
+@pytest.mark.heavy
 def test_int8_conv_skips_small_and_transposed():
     from autoware_vision_pilot_tpu.nn.layers import Conv2d, ConvTranspose2d
     from autoware_vision_pilot_tpu.export.quantize import (

@@ -10,6 +10,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# full-size lateral stack: XLA:CPU compile-heavy (~13 min total on a 1-CPU
+# host). The dryrun-depth siblings in test_fleet_fast.py run in the fast tier.
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope="module")
 def lateral_vars():

@@ -4,6 +4,7 @@ the device RANSAC gate never fires (a hypothesis's inlier weight cannot
 strictly exceed the all-points baseline), so the whole path is
 deterministic and directly comparable."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -102,6 +103,7 @@ def test_other_lane_fallback_branch():
     assert diff / max(w_oracle.sum(), 1) < 0.05, diff
 
 
+@pytest.mark.heavy
 def test_final_fit_matches_oracle_fit():
     other = np.zeros((H, W), np.float32)
     for name, fn in CASES.items():

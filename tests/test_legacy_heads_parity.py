@@ -44,6 +44,7 @@ def test_bev_path_context_parity():
     np.testing.assert_allclose(nchw(y_j), y_t.numpy(), atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.heavy
 def test_auto_steer_head_functional():
     """The reference AutoSteerHead cannot execute under any input size
     (torch.flatten of its 64-channel map can never match the hard-coded

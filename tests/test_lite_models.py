@@ -9,6 +9,7 @@ from autoware_vision_pilot_tpu.models.efficientnet import (
     EfficientNetEncoder, B0_STAGES, B1_STAGES)
 
 
+@pytest.mark.heavy
 def test_encoder_output_strides():
     x = jnp.zeros((1, 64, 128, 3))
     for os_, want in [(32, 2), (16, 4), (8, 8)]:
@@ -19,6 +20,7 @@ def test_encoder_output_strides():
         assert [f.shape[-1] for f in feats] == [32, 24, 40, 112, 320]
 
 
+@pytest.mark.heavy
 def test_b1_encoder_deeper():
     enc0 = EfficientNetEncoder(B0_STAGES)
     enc1 = EfficientNetEncoder(B1_STAGES)
@@ -45,6 +47,7 @@ def test_deeplabv3plus_head_activation():
     assert (o >= 0).all() and (o <= 1).all()
 
 
+@pytest.mark.heavy
 def test_unetplusplus_shapes():
     m = UnetPlusPlus(output_channels=3, decoder_channels=(64, 48, 32, 16))
     x = jnp.zeros((1, 64, 128, 3))

@@ -95,6 +95,7 @@ def test_int8_export_from_qat_matches_qat_numerics(tiny_model):
     assert rel < 0.1, rel
 
 
+@pytest.mark.heavy
 def test_legacy_trainer_learns_under_qat(tmp_path):
     """QAT=True in the legacy trainer: loss decreases on the synthetic
     dataset — Quanty-QAT available for the SceneSeg model family, not

@@ -94,6 +94,7 @@ def test_detection_map_miss():
     assert m50 == 0.0
 
 
+@pytest.mark.heavy
 def test_augmentations_shapes_and_determinism():
     rng = np.random.default_rng(4)
     img = jnp.asarray(rng.uniform(0, 1, (4, 32, 64, 3)).astype(np.float32))
@@ -109,6 +110,7 @@ def test_augmentations_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(l4), np.asarray(lab)[:, :, ::-1])
 
 
+@pytest.mark.heavy
 def test_augmentation_profiles_full_sets():
     """The four per-profile compositions (augmentations.py:63-113 parity):
     jittable, shape/range-preserving, deterministic per key, and the
@@ -139,6 +141,7 @@ def test_hsv_roundtrip():
     assert float(jnp.max(jnp.abs(back - img))) < 1e-4
 
 
+@pytest.mark.heavy
 def test_augment_batch_profile_dispatch():
     rng = np.random.default_rng(7)
     img = jnp.asarray(rng.uniform(0, 1, (2, 16, 32, 3)).astype(np.float32))
@@ -269,6 +272,7 @@ def test_multichip_batch_inference():
     assert len(out.sharding.device_set) == mesh.devices.size
 
 
+@pytest.mark.heavy
 def test_lite_trainer_loss_types():
     """Lite loss-type switch (scene3d_lite / ego_lanes_lite analogs)."""
     import flax.linen as fnn
@@ -308,6 +312,7 @@ def test_lite_trainer_loss_types():
         assert tr.validate(1) is None  # dense tasks skip mIoU
 
 
+@pytest.mark.heavy
 def test_mesh_dp_train_step_matches_single_device():
     """DP training numerics: one step of make_seg_train_step on the
     8-device mesh equals the same step on a 1-device mesh with identical
@@ -365,6 +370,7 @@ def test_mesh_dp_train_step_matches_single_device():
         s8.batch_stats, s1.batch_stats)
 
 
+@pytest.mark.heavy
 def test_bev_and_reprojected_losses():
     """EgoLanes BEV loss family vs hand computation
     (ego_lanes_trainer.py:362-578 semantics)."""
@@ -543,6 +549,7 @@ def test_depth_anything_teacher_labels():
         teacher(np.zeros((16, 24, 3), np.uint8))
 
 
+@pytest.mark.heavy
 def test_lite_trainer_routes_unlabeled_batches_through_teacher(tmp_path):
     """Batches yielded with labels=None go through the pseudo_labeler and
     train the depth head (the DepthAnythingV2 pseudo-labeling flow)."""

@@ -189,6 +189,7 @@ def test_audit_session_back_undoes_last_decision(tmp_path):
     assert s.current_index == 0 and s.accepted == []
 
 
+@pytest.mark.heavy
 def test_debug_autosteer_harness(tmp_path, capsys):
     """N26 harness smoke: runs EgoLanes raw logits -> temporal AutoSteer
     over a tiny synthetic video, printing stats and frame diffs."""
