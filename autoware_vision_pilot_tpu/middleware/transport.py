@@ -10,6 +10,7 @@ tests and single-process deployments.
 """
 from __future__ import annotations
 
+import ctypes
 import threading
 import time
 from collections import defaultdict
@@ -179,7 +180,7 @@ class Iox2Transport(Transport):
         self._n_slots = n_slots
         self._frame_ids = {}
         for t in publish_topics:
-            self._pubs[t] = hx.Iox2Service(
+            self._pubs[t.lstrip("/")] = hx.Iox2Service(
                 self._service(t), self._struct(t), n_slots, create=True)
 
     def _service(self, topic: str) -> str:
@@ -194,18 +195,24 @@ class Iox2Transport(Transport):
                 else self._hx.CIPOMessageStruct)
 
     def publish(self, topic, msg):
+        # Key publishers by the normalized topic so "cipo" and "/cipo"
+        # share one service instead of racing two creators on the segment.
         key = topic.lstrip("/")
-        if topic not in self._pubs:
-            self._pubs[topic] = self._hx.Iox2Service(
+        if key not in self._pubs:
+            self._pubs[key] = self._hx.Iox2Service(
                 self._service(topic), self._struct(topic), self._n_slots,
                 create=True)
-        svc = self._pubs[topic]
+        svc = self._pubs[key]
         if key == "raw_frames":
-            fid = self._frame_ids.get(topic, 0)
+            fid = self._frame_ids.get(key, 0)
             self._hx.publish_frame(svc, msg, fid)
-            self._frame_ids[topic] = fid + 1
+            self._frame_ids[key] = fid + 1
         else:
             m = svc.loan()
+            # Ring slots are reused: clear the loaned sample so fields the
+            # msg dict omits don't carry stale bytes from a prior sample
+            # (the C++ inference_node memsets its loaned CIPOMessage too).
+            ctypes.memset(ctypes.byref(m), 0, ctypes.sizeof(m))
             for k, v in msg.items():
                 setattr(m, k, v)
             m.publish_timestamp_ns = time.monotonic_ns()

@@ -17,9 +17,11 @@
 // Sample delivery semantics match an iceoryx2 subscriber with a
 // bounded queue: in-order, every sample delivered while the reader
 // keeps up, oldest samples dropped (and counted) under backpressure.
-// When the real iceoryx2 C++ binding is installed, the node sources in
-// host/middleware/iox2/ compile against it instead (-DAVP_REAL_IOX2);
-// this header keeps their structure identical either way.
+// This is a contract-compatible shim, NOT the iceoryx2 library: the
+// node sources in host/middleware/iox2/ link this core. Porting them
+// to the real binding is mechanical (loan/send/receive map 1:1) but no
+// such compile path ships here, because iceoryx2 is not available to
+// build or test against in this tree.
 
 #pragma once
 

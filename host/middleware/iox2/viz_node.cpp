@@ -15,7 +15,7 @@
 #include <memory>
 #include <string>
 #include <thread>
-#include <unordered_map>
+#include <map>
 
 #include "avp/iox2.hpp"
 #include "transmission_data.hpp"
@@ -69,7 +69,9 @@ int main(int argc, char** argv) {
     // frame metadata ring for the frame_id join (the 7.4 MB payloads are
     // copied into one reusable buffer, only the metadata is retained)
     auto frame = std::make_unique<RawFrame>();
-    std::unordered_map<uint64_t, FrameMeta> meta;
+    // ordered by frame_id so eviction drops the OLDEST frame,
+    // not an arbitrary bucket (which could evict the newest)
+    std::map<uint64_t, FrameMeta> meta;
     uint64_t frame_seen = 0, cipo_seen = 0, joined = 0;
     uint64_t frames_last = 0;
 
@@ -79,7 +81,7 @@ int main(int argc, char** argv) {
         while (fsvc->receive(frame.get(), &frames_last, &lost)) {
             meta[frame->frame_id] = {frame->capture_timestamp_ns,
                                      frame->width, frame->height};
-            if (meta.size() > 64)  // bound the join window
+            if (meta.size() > 64)  // bound the join window: oldest out
                 meta.erase(meta.begin());
             ++frame_seen;
             any = true;

@@ -55,7 +55,11 @@ ServiceCore::ServiceCore(const std::string& service_name,
                          bool create)
     : payload_bytes_(payload_bytes), n_slots_(n_slots), owner_(create),
       shm_name_(shm_name_for(service_name)) {
-    const int flags = create ? (O_CREAT | O_RDWR) : O_RDWR;
+    // Single-writer contract: creating a service that already exists would
+    // ftruncate+memset a live segment under subscribers mid-copy. O_EXCL
+    // makes a second publisher (or a restart racing a stale segment) fail
+    // loudly instead of silently wiping it.
+    const int flags = create ? (O_CREAT | O_EXCL | O_RDWR) : O_RDWR;
     fd_ = shm_open(shm_name_.c_str(), flags, 0666);
     if (fd_ < 0) return;
 
@@ -136,6 +140,12 @@ void* ServiceCore::loan() {
     // previously held see wseq advance and treat it as lapped.
     std::atomic_ref<uint64_t>(*slot_wseq(slot))
         .store(2 * s + 1, std::memory_order_release);
+    // A release *store* does not order the caller's LATER plain payload
+    // writes after the odd marker; on weakly-ordered CPUs (aarch64) they
+    // could become visible first and a reader's post-memcpy recheck would
+    // still see the old even wseq -> torn sample accepted. Mirror the
+    // kernel's write_seqcount_begin(); smp_wmb(); data-writes pattern.
+    std::atomic_thread_fence(std::memory_order_release);
     return slot_payload(slot);
 }
 

@@ -157,3 +157,43 @@ def test_three_node_pipeline(iox2_build, tmp_path):
     steady = [float(r[ipc]) for r in body[5:]]
     assert min(steady) < 1000.0  # < 1 ms
     assert any(int(r[joined]) == 1 for r in body)
+
+
+def test_second_creator_fails_loudly(iox2_build):
+    """Single-writer contract: a second publisher on a live service must
+    fail (O_CREAT|O_EXCL) instead of silently ftruncate+memset-wiping the
+    segment under subscribers mid-copy."""
+    from autoware_vision_pilot_tpu.host.iox2 import (
+        CIPOMessageStruct, Iox2Service)
+    with Iox2Service("AVPTest/Excl", CIPOMessageStruct, n_slots=4,
+                     create=True):
+        with pytest.raises(RuntimeError):
+            Iox2Service("AVPTest/Excl", CIPOMessageStruct, n_slots=4,
+                        create=True)
+
+
+def test_loaned_slot_has_no_stale_bytes(iox2_build):
+    """Ring slots are reused: a publish that omits fields must not leak
+    the previous sample's bytes into them (transport memsets the loan)."""
+    from autoware_vision_pilot_tpu.middleware.transport import (
+        make_transport)
+    tx = make_transport("iox2", publish_topics=["/cipo"], n_slots=1)
+    rx = make_transport("iox2")
+    try:
+        got = []
+        rx.subscribe("/cipo", got.append)
+        tx.publish("/cipo", {"frame_id": 1, "exists": True,
+                             "distance_m": 42.0, "track_id": 7})
+        rx.spin_once(timeout=1.0)
+        # second publish reuses the same slot but omits every field the
+        # first one set — stale bytes would resurrect exists/distance
+        tx.publish("/cipo", {"frame_id": 2})
+        rx.spin_once(timeout=1.0)
+        assert len(got) == 2
+        assert got[1]["frame_id"] == 2
+        assert got[1]["exists"] is False
+        assert got[1]["distance_m"] == 0.0
+        assert got[1]["track_id"] == 0
+    finally:
+        tx.close()
+        rx.close()
