@@ -35,15 +35,108 @@ from .torch_import import (
     flatten_params, unflatten_params, import_state_dict)
 
 
-def load_onnx_state_dict(path) -> Dict[str, np.ndarray]:
+def load_onnx_state_dict(path, recover: bool = False) -> Dict[str, np.ndarray]:
     """Read a .onnx file and return {initializer_name: numpy array}.
 
     Shape/value constants that torch.onnx.export materialises for Resize /
     Reshape nodes (int64 scalars, 'onnx::' mangled names with no dot) are
     kept too — callers filter by matching against the flax tree.
+
+    With ``recover=True``, mangled initializer names (the eval-peephole
+    Conv+BN fusion renames fused weights to ``onnx::Conv_<idx>``) are
+    rewritten back to state_dict-style keys via graph topology — see
+    :func:`recover_mangled_names`.
     """
     model = onnx_proto.load_model(path)
-    return {name: t.to_numpy() for name, t in model.graph.initializers.items()}
+    sd = {name: t.to_numpy() for name, t in model.graph.initializers.items()}
+    return recover_mangled_names(model, sd) if recover else sd
+
+
+# Ops whose inputs carry learned parameters: input index -> state_dict leaf.
+_WEIGHTED_OPS = {
+    "Conv": {1: "weight", 2: "bias"},
+    "ConvTranspose": {1: "weight", 2: "bias"},
+    "Gemm": {1: "weight", 2: "bias"},
+    "MatMul": {1: "weight"},
+    "BatchNormalization": {1: "weight", 2: "bias", 3: "running_mean",
+                           4: "running_var"},
+}
+
+
+def _is_mangled(name: str) -> bool:
+    """True for exporter-generated initializer names that no longer look
+    like torch state_dict keys ('onnx::Conv_347', '/head/conv/Conv_output_0',
+    bare value-index numbers)."""
+    if name.startswith("onnx::") or name.startswith("/"):
+        return True
+    return "." not in name and name not in ("weight", "bias")
+
+
+def _qual_from_node_name(name: str) -> "str | None":
+    """Derive the torch module path from a TS-exporter node name.
+
+    Node names carry the module scope chain, one component per level,
+    where Sequential/ModuleList scopes repeat their parent-qualified form:
+    '/Backbone/encoder/encoder.0/encoder.0.0/Conv' -> 'Backbone.encoder.0.0'.
+    Returns None when the name has no scope structure to use.
+    """
+    if not name or not name.startswith("/"):
+        return None
+    comps = [c for c in name.split("/") if c]
+    if not comps:
+        return None
+    comps = comps[:-1]  # the last component is the op label ('Conv', 'Gemm_3')
+    qual = ""
+    prev = ""
+    for c in comps:
+        if prev and c.startswith(prev + "."):
+            # nested Sequential scope: 'encoder' -> 'encoder.0' replaces it
+            qual = qual[: len(qual) - len(prev)] + c
+        else:
+            qual = f"{qual}.{c}" if qual else c
+        prev = c
+    return qual
+
+
+def recover_mangled_names(model, sd: Mapping[str, np.ndarray]
+                          ) -> Dict[str, np.ndarray]:
+    """Rename constant-folded initializers back to state_dict-style keys.
+
+    torch.onnx.export with do_constant_folding=True runs the eval peephole
+    pass that fuses BatchNorm into the preceding Conv and names the fused
+    weight/bias 'onnx::Conv_<value idx>' (the failure mode of the
+    reference's own exports, Models/exports/convert_pytorch_to_onnx.py:45-97
+    with do_constant_folding=True).  The Conv NODES keep their module-scope
+    names, so walking the weighted ops in graph order recovers the torch
+    key for every mangled parameter: node '/Backbone/encoder/encoder.0/
+    encoder.0.0/Conv' input[1] 'onnx::Conv_347' -> 'Backbone.encoder.0.0.weight'.
+    """
+    out = dict(sd)
+    for node in model.graph.nodes:
+        leaves = _WEIGHTED_OPS.get(node.op_type)
+        if leaves is None:
+            continue
+        qual = _qual_from_node_name(node.name)
+        if qual is None:
+            continue
+        for idx, leaf in leaves.items():
+            if idx >= len(node.inputs):
+                continue
+            iname = node.inputs[idx]
+            if iname not in out or not _is_mangled(iname):
+                continue
+            key = f"{qual}.{leaf}" if qual else leaf
+            if key in out:
+                continue
+            v = out.pop(iname)
+            if leaf == "weight":
+                if node.op_type == "MatMul" and v.ndim == 2:
+                    v = v.T  # MatMul B is (in,out); state_dict is (out,in)
+                elif (node.op_type == "Gemm" and v.ndim == 2
+                      and not node.attr("transB", 0)):
+                    v = v.T  # pre-transposed Gemm B
+            out[key] = v
+    return out
 
 
 def _strip_wrapper_prefix(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -106,32 +199,90 @@ def fold_missing_bn(variables: Mapping, imported: Mapping,
     return out
 
 
+def _route_folded_biases(variables: Mapping, imported: Mapping,
+                         sd: Mapping[str, np.ndarray],
+                         dtype: Any = jnp.float32) -> Dict:
+    """Give folded conv biases a home when the flax conv has none.
+
+    Conv+BN fusion grafts a bias onto convs that were bias-free in the
+    original module; our flax mirrors keep those convs bias-free too (the
+    BN sibling holds the affine).  Identity-BN fill makes BN(x) = x + bias,
+    so the folded bias lands exactly in the sibling BN's bias leaf
+    (torch Sequential convention: BN index = conv index + 1)."""
+    from .torch_import import _merge_digit_components
+    params = flatten_params(imported.get("params", {}))
+    ref = flatten_params(variables.get("params", {}))
+    for k, v in sd.items():
+        if not k.endswith(".bias"):
+            continue
+        mod = k[: -len(".bias")]
+        fmod = _merge_digit_components(mod)
+        if f"{fmod}.b" in ref or f"{fmod}.bias" in ref:
+            continue  # the named path already placed it
+        parts = mod.split(".")
+        if not parts[-1].isdigit():
+            continue
+        sib = ".".join(parts[:-1] + [str(int(parts[-1]) + 1)])
+        fsib = _merge_digit_components(sib)
+        for tgt in (f"{fsib}.bias", f"{fsib}.bn.bias"):
+            if tgt in ref and ref[tgt].shape == np.asarray(v).shape:
+                params[tgt] = jnp.asarray(v, dtype=dtype)
+                break
+    out = {"params": unflatten_params(params)}
+    if "batch_stats" in imported:
+        out["batch_stats"] = imported["batch_stats"]
+    return out
+
+
 def import_onnx(variables: Mapping, path, prefix_map: Mapping[str, str] | None = None,
                 strict: bool = True, dtype: Any = jnp.float32) -> Dict:
     """Fill flax ``variables`` from an ONNX file.
 
     Tries the named path strictly; if BN initializers are missing (a
-    constant-folded export), retries non-strict and fills identity BN.
+    constant-folded export), retries non-strict, routes folded conv biases
+    into their sibling BN, and fills identity BN.
     Raises if conv/linear weights themselves cannot be matched.
+
+    The initializer names are tried as-is first; stripping a uniform root
+    component (torch.onnx.export on a wrapped module prefixes everything
+    with the wrapper attribute) is a FALLBACK, never a default — a genuine
+    shared module root like 'features.' must not be stripped.
     """
-    sd = _drop_constants(_strip_wrapper_prefix(load_onnx_state_dict(path)))
-    try:
-        return import_state_dict(variables, sd, prefix_map=prefix_map,
-                                  strict=strict, dtype=dtype)
-    except KeyError as e:
-        if "missing torch weights" not in str(e):
-            raise
-        imported = import_state_dict(variables, sd, prefix_map=prefix_map,
-                                     strict=False, dtype=dtype)
-        imported = fold_missing_bn(variables, imported)
-        # Re-verify: after identity-BN fill, only BN leaves may differ from
-        # the strict result; conv/linear leaves must all have been matched.
-        missing_core = _unmatched_core_leaves(variables, imported)
-        if strict and missing_core:
-            raise KeyError(
-                f"ONNX import could not match core weights: {missing_core[:10]}"
-                f"{' ...' if len(missing_core) > 10 else ''}") from e
-        return imported
+    sd_raw = _drop_constants(load_onnx_state_dict(path, recover=True))
+    candidates = [sd_raw]
+    stripped = _strip_wrapper_prefix(sd_raw)
+    if set(stripped) != set(sd_raw):
+        candidates.append(stripped)
+
+    def _attempt(sd):
+        try:
+            return import_state_dict(variables, sd, prefix_map=prefix_map,
+                                     strict=strict, dtype=dtype)
+        except KeyError as e:
+            if "missing torch weights" not in str(e):
+                raise
+            imported = import_state_dict(variables, sd, prefix_map=prefix_map,
+                                         strict=False, dtype=dtype)
+            imported = _route_folded_biases(variables, imported, sd,
+                                            dtype=dtype)
+            imported = fold_missing_bn(variables, imported)
+            # Re-verify: after identity-BN fill, only BN leaves may differ
+            # from the strict result; conv/linear weights must all match.
+            missing_core = _unmatched_core_leaves(variables, imported)
+            if strict and missing_core:
+                raise KeyError(
+                    f"ONNX import could not match core weights: "
+                    f"{missing_core[:10]}"
+                    f"{' ...' if len(missing_core) > 10 else ''}") from e
+            return imported
+
+    last_err = None
+    for sd in candidates:
+        try:
+            return _attempt(sd)
+        except (KeyError, ValueError) as e:
+            last_err = e
+    raise last_err
 
 
 def _unmatched_core_leaves(variables: Mapping, imported: Mapping) -> list:
