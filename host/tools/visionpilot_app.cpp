@@ -1,22 +1,24 @@
-// visionpilot_app: Python-free production loop for the exported lateral
-// pipeline step.
+// visionpilot_app: Python-free production loop for the exported
+// pipeline steps.
 //
 // TPU-native analog of the reference's deployable unit — a standalone
 // native binary that captures frames, runs the perception/control stack
 // and publishes control state over shared memory
-// (VisionPilot/production_release/main.cpp:1543-1959). Here the whole
-// per-frame lateral stack (preprocess -> EgoLanes -> temporal AutoSteer ->
+// (VisionPilot/production_release/main.cpp:1543-1959). The per-frame
+// lateral stack (preprocess -> EgoLanes -> temporal AutoSteer ->
 // LaneFilter -> LaneTracker -> PathFinder -> steering) is ONE exported
-// StableHLO program (export/native_app.py) and this binary is the loop:
+// StableHLO program (export/native_app.py); with --lon the AutoSpeed
+// detection program (letterbox -> net -> decode -> fixed NMS) runs in
+// the same process and its (max_det, 7) table feeds the native
+// longitudinal stack (avp/longitudinal.hpp: ObjectFinder -> RSS ->
+// PI, the main.cpp:662-785 path) — zero Python anywhere.
 //
 //   frame source (frame_ring SHM or a .npy uint8 stack)
-//     -> TF C API session run of the XlaCallModule graph
-//     -> carried state tensors fed back into the next iteration
-//     -> packed scalar vector published to /visionpilot_state (seqlock)
-//
-// No Python exists in this process. The carried state never leaves the
-// runtime's buffers: each iteration's state_out_i TF_Tensor is fed
-// directly as the next iteration's state_i input.
+//     -> TF C API run of the lateral XlaCallModule graph
+//        (carried state tensors fed back into the next iteration)
+//     -> [--lon] TF C API run of the detection graph
+//        -> ObjectFinder/Kalman -> SpeedPlanner -> PIController
+//     -> full VisionPilotState POD published to /visionpilot_state
 //
 // Usage:
 //   visionpilot_app <bundle_dir> <name>
@@ -27,6 +29,12 @@
 //       [--golden]                 run <name>_probe_frame.npy first and
 //                                  verify out_0 against
 //                                  <name>_probe_scalars.npy (tol 2e-3)
+//       [--lon <name2>]            also run the <name2> detection bundle
+//                                  from the same dir + the native
+//                                  longitudinal stack
+//       [--ego-speed V]            ego speed m/s for RSS/PID (no native
+//                                  CAN input; default 10.0 = the Python
+//                                  app's ego_speed_default_ms)
 //       [--state-shm <seg>]        publish segment (default
 //                                  /visionpilot_state)
 //       [--dump <out.npy>]         write the FINAL iteration's out_0
@@ -45,6 +53,7 @@
 #include <vector>
 
 #include "avp/frame_ring.hpp"
+#include "avp/longitudinal.hpp"
 #include "avp/shared_state.hpp"
 #include "npy_io.hpp"
 #include "tensorflow/c/c_api.h"
@@ -100,25 +109,100 @@ Manifest parse_manifest(const std::string& path) {
   return m;
 }
 
-// SCALAR_FIELDS layout (runtime/pipeline.py:110-112): the packed lateral
-// scalar vector out_0 = [steering_filtered, steering_raw, autosteer_deg,
-// cte, yaw_error, lane_width, fused_valid, path_valid].
-void publish_scalars(avp::host::SharedState& shm, const float* s, int n,
-                     uint64_t frame_number) {
-  avp::host::VisionPilotState st{};
-  st.frame_number = frame_number;
-  if (n >= 8) {
-    st.steering_pid_deg = s[0];
-    st.steering_pid_raw_deg = s[1];
-    st.steering_autosteer_deg = s[2];
-    st.cte_m = s[3];
-    st.yaw_error_rad = s[4];
-    st.autosteer_valid = s[6] > 0.5f;
-    st.path_valid = s[7] > 0.5f;
-    st.lane_departure_warning = st.path_valid && std::fabs(s[3]) > 0.9;
+// One exported XlaCallModule bundle: graph + session + carried state.
+// run() feeds the frame (and current state), returns the out_j tensors
+// and retires state_out_i into the next iteration's inputs.
+struct Program {
+  Manifest man;
+  TF_Graph* graph = nullptr;
+  TF_Session* sess = nullptr;
+  TF_Status* status = nullptr;
+  std::vector<TF_Output> inputs, outputs;
+  std::vector<avp::NpyArray> state0;
+  std::vector<TF_Tensor*> state;
+
+  void load(const std::string& dir, const std::string& name) {
+    man = parse_manifest(dir + "/" + name + "_manifest.txt");
+    const std::string pb = read_file(dir + "/" + man.graph_file);
+    status = TF_NewStatus();
+    graph = TF_NewGraph();
+    TF_Buffer* gbuf = TF_NewBufferFromString(pb.data(), pb.size());
+    TF_ImportGraphDefOptions* iopts = TF_NewImportGraphDefOptions();
+    TF_GraphImportGraphDef(graph, gbuf, iopts, status);
+    check(status, "import GraphDef");
+    TF_DeleteImportGraphDefOptions(iopts);
+    TF_DeleteBuffer(gbuf);
+
+    auto op = [&](const std::string& n) -> TF_Output {
+      TF_Operation* o = TF_GraphOperationByName(graph, n.c_str());
+      if (!o) {
+        std::fprintf(stderr, "graph is missing op %s\n", n.c_str());
+        std::exit(2);
+      }
+      return TF_Output{o, 0};
+    };
+    inputs.push_back(op("frame"));
+    for (int i = 0; i < man.n_state; ++i)
+      inputs.push_back(op("state_" + std::to_string(i)));
+    for (int j = 0; j < man.n_out; ++j)
+      outputs.push_back(op("out_" + std::to_string(j)));
+    for (int i = 0; i < man.n_state; ++i)
+      outputs.push_back(op("state_out_" + std::to_string(i)));
+
+    TF_SessionOptions* sopts = TF_NewSessionOptions();
+    sess = TF_NewSession(graph, sopts, status);
+    check(status, "create session");
+    TF_DeleteSessionOptions(sopts);
+
+    // keep the npy buffers alive for the whole run: iteration 0's input
+    // tensors view them (no_dealloc).
+    state0.resize(man.n_state);
+    state.assign(man.n_state, nullptr);
+    for (int i = 0; i < man.n_state; ++i) {
+      state0[i] = avp::read_npy_f32(dir + "/" + name + "_state_" +
+                                    std::to_string(i) + ".npy");
+      state[i] = TF_NewTensor(TF_FLOAT, state0[i].shape.data(),
+                              (int)state0[i].shape.size(),
+                              state0[i].data.data(),
+                              state0[i].data.size() * sizeof(float),
+                              no_dealloc, nullptr);
+    }
   }
-  shm.publish(st);
-}
+
+  // Returns the out_j tensors (caller deletes); state feedback is done.
+  std::vector<TF_Tensor*> run(const uint8_t* fdata) {
+    const int64_t fshape[3] = {man.frame_h, man.frame_w, man.frame_c};
+    TF_Tensor* t_frame = TF_NewTensor(
+        TF_UINT8, fshape, 3, (void*)fdata,
+        (size_t)(man.frame_h * man.frame_w * man.frame_c), no_dealloc,
+        nullptr);
+    std::vector<TF_Tensor*> in_vals{t_frame};
+    for (int i = 0; i < man.n_state; ++i) in_vals.push_back(state[i]);
+    std::vector<TF_Tensor*> out_vals(outputs.size(), nullptr);
+    TF_SessionRun(sess, nullptr, inputs.data(), in_vals.data(),
+                  (int)inputs.size(), outputs.data(), out_vals.data(),
+                  (int)outputs.size(), nullptr, 0, nullptr, status);
+    check(status, "run session");
+    TF_DeleteTensor(t_frame);
+    for (int i = 0; i < man.n_state; ++i) {
+      TF_DeleteTensor(state[i]);  // iteration-0 tensors only view state0
+      state[i] = out_vals[man.n_out + i];
+    }
+    out_vals.resize(man.n_out);
+    return out_vals;
+  }
+
+  void unload() {
+    for (TF_Tensor*& t : state)
+      if (t) TF_DeleteTensor(t);
+    if (sess) {
+      TF_CloseSession(sess, status);
+      TF_DeleteSession(sess, status);
+    }
+    if (graph) TF_DeleteGraph(graph);
+    if (status) TF_DeleteStatus(status);
+  }
+};
 
 }  // namespace
 
@@ -127,16 +211,17 @@ int main(int argc, char** argv) {
     std::fprintf(stderr,
                  "usage: %s <bundle_dir> <name> [--frames <stack.npy>] "
                  "[--ring <shm>] [--max-frames N] [--golden] "
-                 "[--state-shm <seg>]\n",
+                 "[--lon <name2>] [--ego-speed V] [--state-shm <seg>]\n",
                  argv[0]);
     return 2;
   }
   const std::string dir = argv[1];
   const std::string name = argv[2];
-  std::string frames_npy, ring_name, dump_npy;
+  std::string frames_npy, ring_name, dump_npy, lon_name;
   std::string state_shm = "/visionpilot_state";
   long max_frames = -1;
   bool golden = false;
+  double ego_speed = 10.0;  // ego_speed_default_ms (runtime/config.py)
   for (int i = 3; i < argc; ++i) {
     if (!std::strcmp(argv[i], "--frames") && i + 1 < argc)
       frames_npy = argv[++i];
@@ -146,69 +231,39 @@ int main(int argc, char** argv) {
       max_frames = std::strtol(argv[++i], nullptr, 10);
     else if (!std::strcmp(argv[i], "--golden"))
       golden = true;
+    else if (!std::strcmp(argv[i], "--lon") && i + 1 < argc)
+      lon_name = argv[++i];
+    else if (!std::strcmp(argv[i], "--ego-speed") && i + 1 < argc)
+      ego_speed = std::atof(argv[++i]);
     else if (!std::strcmp(argv[i], "--state-shm") && i + 1 < argc)
       state_shm = argv[++i];
     else if (!std::strcmp(argv[i], "--dump") && i + 1 < argc)
       dump_npy = argv[++i];
   }
 
-  const Manifest man = parse_manifest(dir + "/" + name + "_manifest.txt");
+  Program lat;
+  lat.load(dir, name);
+  const Manifest& man = lat.man;
   const int64_t frame_bytes = man.frame_h * man.frame_w * man.frame_c;
   std::fprintf(stderr,
                "visionpilot_app: %s frame=%lldx%lldx%lld n_state=%d "
-               "n_out=%d\n",
+               "n_out=%d%s\n",
                man.graph_file.c_str(), (long long)man.frame_h,
                (long long)man.frame_w, (long long)man.frame_c, man.n_state,
-               man.n_out);
+               man.n_out, lon_name.empty() ? "" : " +longitudinal");
 
-  // --- graph + session ----------------------------------------------------
-  const std::string pb = read_file(dir + "/" + man.graph_file);
-  TF_Status* status = TF_NewStatus();
-  TF_Graph* graph = TF_NewGraph();
-  TF_Buffer* gbuf = TF_NewBufferFromString(pb.data(), pb.size());
-  TF_ImportGraphDefOptions* iopts = TF_NewImportGraphDefOptions();
-  TF_GraphImportGraphDef(graph, gbuf, iopts, status);
-  check(status, "import GraphDef");
-  TF_DeleteImportGraphDefOptions(iopts);
-  TF_DeleteBuffer(gbuf);
+  Program lon;
+  const bool with_lon = !lon_name.empty();
+  if (with_lon) lon.load(dir, lon_name);
 
-  auto op = [&](const std::string& n) -> TF_Output {
-    TF_Operation* o = TF_GraphOperationByName(graph, n.c_str());
-    if (!o) {
-      std::fprintf(stderr, "graph is missing op %s\n", n.c_str());
-      std::exit(2);
-    }
-    return TF_Output{o, 0};
-  };
-
-  std::vector<TF_Output> inputs{op("frame")};
-  for (int i = 0; i < man.n_state; ++i)
-    inputs.push_back(op("state_" + std::to_string(i)));
-  std::vector<TF_Output> outputs;
-  for (int j = 0; j < man.n_out; ++j)
-    outputs.push_back(op("out_" + std::to_string(j)));
-  for (int i = 0; i < man.n_state; ++i)
-    outputs.push_back(op("state_out_" + std::to_string(i)));
-
-  TF_SessionOptions* sopts = TF_NewSessionOptions();
-  TF_Session* sess = TF_NewSession(graph, sopts, status);
-  check(status, "create session");
-  TF_DeleteSessionOptions(sopts);
-
-  // --- initial state ------------------------------------------------------
-  // keep the npy buffers alive for the whole run: iteration 0's input
-  // tensors view them (no_dealloc).
-  std::vector<avp::NpyArray> state0(man.n_state);
-  std::vector<TF_Tensor*> state(man.n_state, nullptr);
-  for (int i = 0; i < man.n_state; ++i) {
-    state0[i] = avp::read_npy_f32(dir + "/" + name + "_state_" +
-                                  std::to_string(i) + ".npy");
-    state[i] = TF_NewTensor(TF_FLOAT, state0[i].shape.data(),
-                            (int)state0[i].shape.size(),
-                            state0[i].data.data(),
-                            state0[i].data.size() * sizeof(float),
-                            no_dealloc, nullptr);
-  }
+  // native longitudinal stack (reference main.cpp:662-785); flat-ground
+  // homography placeholder — production passes a calibrated one via the
+  // exported bundle's metadata or a sidecar (calibration/).
+  const double hom[9] = {0.02, 0.0, -12.8, 0.0, -0.09, 72.0,
+                         0.0, 0.001, 0.28};
+  avp::lon::ObjectFinder finder(hom, (int)man.frame_w, (int)man.frame_h);
+  avp::lon::SpeedPlanner planner;
+  avp::lon::PIController pid(0.5, 0.1, 0.05);  // LongitudinalConfig gains
 
   // --- frame source -------------------------------------------------------
   avp::NpyArrayU8 stack;
@@ -249,13 +304,13 @@ int main(int argc, char** argv) {
     return 2;
   }
 
-  const int64_t fshape[3] = {man.frame_h, man.frame_w, man.frame_c};
   std::vector<uint8_t> ring_buf(frame_bytes);
   avp::host::FrameHeader fh{};
   uint64_t last_seen = 0;
   bool golden_ok = true;
   long done = 0;
   double infer_s = 0.0;
+  const auto wall0 = std::chrono::steady_clock::now();
 
   for (long it = 0;; ++it) {
     // golden probe runs as iteration 0 from the exporter's fixed state,
@@ -279,31 +334,73 @@ int main(int argc, char** argv) {
       break;  // --golden only: single probe iteration
     }
 
-    TF_Tensor* t_frame =
-        TF_NewTensor(TF_UINT8, fshape, 3, fdata, (size_t)frame_bytes,
-                     no_dealloc, nullptr);
-    std::vector<TF_Tensor*> in_vals{t_frame};
-    for (int i = 0; i < man.n_state; ++i) in_vals.push_back(state[i]);
-    std::vector<TF_Tensor*> out_vals(outputs.size(), nullptr);
-
     auto t0 = std::chrono::steady_clock::now();
-    TF_SessionRun(sess, nullptr, inputs.data(), in_vals.data(),
-                  (int)inputs.size(), outputs.data(), out_vals.data(),
-                  (int)outputs.size(), nullptr, 0, nullptr, status);
-    check(status, "run session");
+    std::vector<TF_Tensor*> lat_out = lat.run(fdata);
+    std::vector<TF_Tensor*> lon_out;
+    if (with_lon) lon_out = lon.run(fdata);
     infer_s += std::chrono::duration<double>(std::chrono::steady_clock::now()
                                              - t0).count();
 
-    // state feedback: output tensors become next iteration's inputs
-    TF_DeleteTensor(t_frame);
-    for (int i = 0; i < man.n_state; ++i) {
-      TF_DeleteTensor(state[i]);  // iteration-0 tensors only view state0
-      state[i] = out_vals[man.n_out + i];
+    // --- publish the full state POD ---------------------------------------
+    avp::host::VisionPilotState st{};
+    st.frame_number = frame_number;
+
+    // SCALAR_FIELDS layout (runtime/pipeline.py:110-112): out_0 =
+    // [steering_filtered, steering_raw, autosteer_deg, cte, yaw_error,
+    //  lane_width, fused_valid, path_valid].
+    const float* scal = (const float*)TF_TensorData(lat_out[0]);
+    const int n_scal = (int)TF_TensorElementCount(lat_out[0]);
+    if (n_scal >= 8) {
+      st.steering_pid_deg = scal[0];
+      st.steering_pid_raw_deg = scal[1];
+      st.steering_autosteer_deg = scal[2];
+      st.cte_m = scal[3];
+      st.yaw_error_rad = scal[4];
+      st.autosteer_valid = scal[6] > 0.5f;
+      st.path_valid = scal[7] > 0.5f;
+      st.lane_departure_warning = st.path_valid && std::fabs(scal[3]) > 0.9;
     }
 
-    const float* scal = (const float*)TF_TensorData(out_vals[0]);
-    const int n_scal = (int)TF_TensorElementCount(out_vals[0]);
-    publish_scalars(shm, scal, n_scal, frame_number);
+    if (with_lon) {
+      // detection table (max_det, 7): x1,y1,x2,y2,score,class,valid
+      const float* tab = (const float*)TF_TensorData(lon_out[0]);
+      const int64_t rows = TF_Dim(lon_out[0], 0);
+      std::vector<avp::lon::Detection> dets;
+      for (int64_t r = 0; r < rows; ++r) {
+        const float* row = tab + r * 7;
+        if (row[6] > 0.5f)
+          dets.push_back({row[0], row[1], row[2], row[3], row[4],
+                          (int)row[5]});
+      }
+      const double now = std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - wall0).count();
+      const auto trk = finder.update_and_get_cipo(dets, now, fdata);
+
+      // wiring order matches runtime/pipeline.py:_harvest:369-387
+      planner.set_ego_speed(ego_speed);
+      planner.set_is_cipo_present(trk.cipo.exists);
+      if (trk.cipo.exists)
+        planner.set_cipo_state(trk.cipo.velocity_ms, trk.cipo.distance_m);
+      const double set_speed = planner.calc_ideal_driving_speed();
+      if (trk.cut_in_detected || trk.kalman_reset) pid.reset();
+      const double effort = pid.compute_effort(ego_speed, set_speed);
+
+      st.cipo_exists = trk.cipo.exists;
+      st.cipo_track_id = trk.cipo.track_id;
+      st.cipo_class_id = trk.cipo.class_id;
+      st.cipo_distance_m = trk.cipo.distance_m;
+      st.cipo_velocity_ms = trk.cipo.velocity_ms;
+      st.cut_in_detected = trk.cut_in_detected;
+      st.kalman_reset = trk.kalman_reset;
+      st.ideal_speed_ms = set_speed;
+      st.safe_distance_m = planner.calc_safe_rss_distance();
+      st.fcw_active = planner.fcw();
+      st.aeb_active = planner.aeb();
+      st.control_effort_ms2 = effort;
+      st.ego_speed_ms = ego_speed;
+    }
+    shm.publish(st);
+
     if (!dump_npy.empty()) {
       avp::NpyArray a;
       a.shape = {n_scal};
@@ -320,7 +417,8 @@ int main(int argc, char** argv) {
                    max_diff);
       golden_ok = max_diff <= 2e-3f;
     }
-    for (int j = 0; j < man.n_out; ++j) TF_DeleteTensor(out_vals[j]);
+    for (TF_Tensor* t : lat_out) TF_DeleteTensor(t);
+    for (TF_Tensor* t : lon_out) TF_DeleteTensor(t);
     ++done;
     if (max_frames >= 0 && done >= max_frames + (golden ? 1 : 0)) break;
     if (max_frames < 0 && !ring && !(golden && it == 0) && n_stack == 0)
@@ -331,12 +429,8 @@ int main(int argc, char** argv) {
               done, 1e3 * infer_s / std::max(done, 1L),
               done / std::max(infer_s, 1e-9));
 
-  for (int i = 0; i < man.n_state; ++i)
-    if (state[i]) TF_DeleteTensor(state[i]);
-  TF_CloseSession(sess, status);
-  TF_DeleteSession(sess, status);
-  TF_DeleteGraph(graph);
-  TF_DeleteStatus(status);
+  lat.unload();
+  if (with_lon) lon.unload();
   delete ring;
   return golden_ok ? 0 : 1;
 }

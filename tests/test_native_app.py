@@ -89,6 +89,9 @@ def bundle(tmp_path_factory):
     out = tmp_path_factory.mktemp("bundle")
     step, init = _tiny_step()
     export_native_app(step, init, FRAME_SHAPE, out, name="tiny")
+    export_native_app(_tiny_detector(), (), FRAME_SHAPE, out,
+                      name="tinylon",
+                      outputs_from=lambda o: [o["dets"]])
 
     rng = np.random.default_rng(3)
     stack = rng.integers(0, 256, (N_FRAMES, *FRAME_SHAPE), dtype=np.uint8)
@@ -104,6 +107,25 @@ def bundle(tmp_path_factory):
         outp, state = step(jnp.asarray(f), state)
         final = np.asarray(outp["scalars"])
     return out, final
+
+
+def _tiny_detector():
+    """Stateless per-frame detection step: one moving class-1 box whose
+    geometry tracks the frame content, emitted in the device-NMS
+    (max_det, 7) [x1,y1,x2,y2,score,class,valid] table layout."""
+    import jax.numpy as jnp
+
+    def step(frame_u8, state):
+        m = frame_u8.astype(jnp.float32).mean() / 255.0   # varies per frame
+        x1 = 2.0 + 4.0 * m
+        y1 = 1.0 + 3.0 * m
+        row = jnp.stack([x1, y1, x1 + 6.0, y1 + 4.0,
+                         jnp.float32(0.9), jnp.float32(1.0),
+                         jnp.float32(1.0)])
+        table = jnp.zeros((4, 7), jnp.float32).at[0].set(row)
+        return {"dets": table}, state
+
+    return step
 
 
 def test_native_app_golden_and_trajectory(app_build, bundle, tmp_path):
@@ -160,6 +182,59 @@ def test_native_app_publishes_advancing_frames(app_build, bundle):
                 seen.append(fn)
             time.sleep(0.05)
         assert len(seen) >= 3, f"frame ids did not advance: {seen}"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+def test_native_app_longitudinal_full_pod(app_build, bundle):
+    """--lon mode: the detection bundle + native ObjectFinder/RSS/PID run
+    in-process and the published POD's longitudinal fields advance —
+    zero Python in the deployed process (VERDICT r4 item 4; reference
+    main.cpp:662-785 + visionpilot_shared_state.hpp:34-85)."""
+    from autoware_vision_pilot_tpu.host.shm import SharedStateReader
+    import autoware_vision_pilot_tpu.host.shm as shm_mod
+    if app_build / "libavp_host.so" not in shm_mod._LIB_PATHS:
+        shm_mod._LIB_PATHS.append(app_build / "libavp_host.so")
+    if shm_mod._load_lib() is None:
+        pytest.skip("libavp_host.so not built")
+
+    out, _ = bundle
+    seg = "/avp_nativeapp_t3"
+    proc = subprocess.Popen(
+        [str(app_build / "visionpilot_app"), str(out), "tiny",
+         "--lon", "tinylon", "--frames", str(out / "stack.npy"),
+         "--ego-speed", "12.5",
+         "--max-frames", "2000000", "--state-shm", seg],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        reader = None
+        deadline = time.time() + 180
+        snaps = []
+        while time.time() < deadline and len(snaps) < 6:
+            if reader is None:
+                try:
+                    reader = SharedStateReader(seg)
+                except RuntimeError:
+                    time.sleep(0.2)
+                    continue
+            st = reader.read()
+            if st.frame_number and (not snaps or
+                                    st.frame_number > snaps[-1][0]):
+                snaps.append((st.frame_number, st.cipo_exists,
+                              st.cipo_distance_m, st.ideal_speed_ms,
+                              st.control_effort_ms2, st.ego_speed_ms,
+                              st.safe_distance_m))
+            time.sleep(0.02)
+        assert len(snaps) >= 6, f"state did not advance: {snaps}"
+        live = [s for s in snaps if s[1]]          # cipo_exists snapshots
+        assert live, f"CIPO never appeared: {snaps}"
+        assert all(s[2] > 0 for s in live)         # distance populated
+        assert any(abs(s[4]) > 0 for s in live)    # PI effort nonzero
+        assert all(abs(s[5] - 12.5) < 1e-9 for s in snaps)  # ego speed
+        assert all(s[6] >= 5.0 for s in live)      # RSS floor respected
+        # the moving box + Kalman must actually CHANGE the distance
+        assert len({round(s[2], 6) for s in live}) >= 2, live
     finally:
         proc.terminate()
         proc.wait(timeout=30)

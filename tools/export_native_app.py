@@ -1,4 +1,5 @@
-"""Export the FULL lateral pipeline step as the native-app bundle.
+"""Export the full per-frame pipeline as native-app bundles: the lateral
+step always, and with --longitudinal the AutoSpeed detection step too.
 
 Produces the artifact directory `host/tools/visionpilot_app.cpp` runs
 Python-free — the TPU-native deployable unit matching the reference's
@@ -27,6 +28,11 @@ def main():
     ap.add_argument("out", nargs="?", default="exports/native_app")
     ap.add_argument("--lanes", help="EgoLanes msgpack checkpoint")
     ap.add_argument("--steer", help="AutoSteerTemporal msgpack checkpoint")
+    ap.add_argument("--speed", help="AutoSpeed msgpack checkpoint")
+    ap.add_argument("--longitudinal", action="store_true",
+                    help="also export the AutoSpeed detection bundle "
+                         "(letterbox -> net -> decode -> fixed NMS) the "
+                         "app's --lon mode consumes")
     ap.add_argument("--frame-hw", default="720,1280")
     args = ap.parse_args()
     frame_hw = tuple(int(v) for v in args.frame_hw.split(","))
@@ -59,6 +65,25 @@ def main():
     man = export_native_app(step, state, (*frame_hw, 3), args.out,
                             name="lateral")
     print(f"wrote {man}")
+
+    if args.longitudinal:
+        from autoware_vision_pilot_tpu.models.auto_speed import (
+            AutoSpeedNetwork)
+        from autoware_vision_pilot_tpu.runtime import build_longitudinal_step
+        speed_vars = AutoSpeedNetwork(variant="n", num_classes=4,
+                                      img_h=640, img_w=640, **kw).init(
+            key, jnp.zeros((1, 640, 640, 3), dtype))
+        if args.speed:
+            speed_vars = load_msgpack(args.speed, speed_vars)
+        lon = build_longitudinal_step(speed_vars, Config(),
+                                      frame_hw=frame_hw, dtype=dtype)
+        # the app loop contract is stateful; the detector is stateless —
+        # export with an empty state pytree (n_state 0)
+        lon_step = lambda frame_u8, state: ({"dets": lon(frame_u8)}, state)
+        man2 = export_native_app(lon_step, (), (*frame_hw, 3), args.out,
+                                 name="longitudinal",
+                                 outputs_from=lambda out: [out["dets"]])
+        print(f"wrote {man2}")
 
 
 if __name__ == "__main__":
