@@ -100,6 +100,14 @@ def main(argv=None):
     ap.add_argument("--bench", action="store_true",
                     help="also measure device FPS (chained-checksum)")
     ap.add_argument("--bench-iters", type=int, default=120)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                    help="compute/param dtype (bf16 = MXU-native; the "
+                         "TPU answer to the Jetson fp16 rows in the "
+                         "reference Lite/README.md:63-156 table)")
+    ap.add_argument("--int8", action="store_true",
+                    help="selective int8 MXU conv path (PTQ-calibrated "
+                         "static activation scales)")
+    ap.add_argument("--int8-min-ch", type=int, default=128)
     ap.add_argument("--out", help="write the JSON summary here too")
     args = ap.parse_args(argv)
 
@@ -109,15 +117,26 @@ def main(argv=None):
         loss_type, "seg")
     args.num_classes = int(cfg.get("loss", {}).get("num_classes", 3))
 
-    model = build_lite_model(cfg)
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = build_lite_model(cfg, dtype=dt, param_dtype=dt)
     input_hw = (args.height, args.width)
     var = load_weights(model, args, input_hw)
+    if args.int8:
+        from autoware_vision_pilot_tpu.export.quantize import (
+            quantize_variables_for_int8_conv,
+            calibrate_int8_activation_scales)
+        var = quantize_variables_for_int8_conv(var, args.int8_min_ch)
+        rng = np.random.default_rng(11)
+        cal = [(jnp.asarray(rng.integers(
+            0, 256, (2, *input_hw, 3), dtype=np.uint8)).astype(dt) / 255.0
+            - IMAGENET_MEAN) / IMAGENET_STD for _ in range(4)]
+        var = calibrate_int8_activation_scales(model, var, cal)
 
     @jax.jit
     def forward(images_u8):
-        x = images_u8.astype(jnp.float32) / 255.0
+        x = images_u8.astype(dt) / 255.0
         x = (x - IMAGENET_MEAN) / IMAGENET_STD
-        return model.apply(var, x)
+        return model.apply(var, x).astype(jnp.float32)
 
     # --- metric accumulation --------------------------------------------
     if args.task == "seg":

@@ -1,0 +1,147 @@
+"""End-to-end AutoSpeed detection training demo on real hardware.
+
+VERDICT r4 item 9: extend the accuracy evidence beyond segmentation and
+steering — prove the detection path LEARNS to a mAP bar on-chip, the
+analog of the reference trainer's val mAP gate
+(Models/training/auto_speed_trainer.py:162 computes val mAP@50 /
+mAP@[.5:.95] every epoch).
+
+Synthetic boxed scenes: each of the 4 AutoSpeed classes has a
+distinctive appearance (color/aspect), 1-4 objects per scene on a
+textured background. DetectionTrainer (EMA + TAL/CIoU/DFL, the SPMD
+rebuild of the DDP trainer) fits AutoSpeedNetwork-n from scratch, then
+validates on held-out scenes through the SAME decode + fixed-NMS path
+deployment uses.
+
+Bar (recorded in BENCH_NOTES): held-out mAP@50 >= 0.50 from scratch in
+<= 800 steps. Random-init control typically scores ~0.0x, so clearing
+the bar demonstrates real convergence of detection_loss on the TPU.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+           python tools/e2e_autospeed_demo.py [--steps 600]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+HW = (256, 512)
+NUM_CLASSES = 4
+
+# class -> (fill RGB, (min_w, max_w), aspect h/w range): distinct enough
+# to be learnable, overlapping enough to need real classification
+STYLES = {
+    0: ((205, 60, 50), (18, 36), (1.8, 2.6)),    # pedestrian: tall red
+    1: ((40, 60, 180), (50, 110), (0.45, 0.7)),  # car: wide blue
+    2: ((50, 160, 70), (90, 170), (0.55, 0.85)), # truck: large green
+    3: ((220, 200, 40), (24, 48), (0.9, 1.3)),   # cyclist: small yellow
+}
+
+
+def make_boxed_scene(rng: np.random.Generator, hw=HW):
+    h, w = hw
+    # textured background: vertical gradient + low-amplitude noise
+    base = np.linspace(70, 150, h, dtype=np.float32)[:, None, None]
+    img = base + rng.normal(0, 12, (h, w, 3)).astype(np.float32)
+    img += rng.uniform(-20, 20, (1, 1, 3))
+    boxes, labels = [], []
+    for _ in range(int(rng.integers(1, 5))):
+        cls = int(rng.integers(0, NUM_CLASSES))
+        color, (w_min, w_max), (a_min, a_max) = STYLES[cls]
+        bw = rng.uniform(w_min, w_max)
+        bh = bw * rng.uniform(a_min, a_max)
+        bh = min(bh, h * 0.85)
+        x1 = rng.uniform(0, w - bw - 1)
+        y1 = rng.uniform(0, h - bh - 1)
+        x2, y2 = x1 + bw, y1 + bh
+        ix1, iy1, ix2, iy2 = int(x1), int(y1), int(np.ceil(x2)), int(np.ceil(y2))
+        shade = rng.uniform(0.75, 1.25)
+        img[iy1:iy2, ix1:ix2] = np.asarray(color, np.float32) * shade
+        # a darker band at the bottom quarter gives every class internal
+        # structure (prevents degenerate single-pixel solutions)
+        bb = iy1 + int(0.75 * (iy2 - iy1))
+        img[bb:iy2, ix1:ix2] *= 0.55
+        boxes.append([x1, y1, x2, y2])
+        labels.append(cls)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return img, np.asarray(boxes, np.float32), np.asarray(labels, np.int32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--val-scenes", type=int, default=32)
+    ap.add_argument("--conf", type=float, default=0.1)
+    args = ap.parse_args()
+
+    from autoware_vision_pilot_tpu.core.cache import setup_compilation_cache
+    setup_compilation_cache(
+        pathlib.Path(__file__).resolve().parents[1] / ".jax_cache")
+
+    from autoware_vision_pilot_tpu.models.auto_speed import AutoSpeedNetwork
+    from autoware_vision_pilot_tpu.train.detection_trainer import (
+        DetectionTrainer, DetectionTrainerConfig)
+    from autoware_vision_pilot_tpu.train.yolo_data import pad_targets
+
+    model = AutoSpeedNetwork(variant="n", num_classes=NUM_CLASSES,
+                             img_h=HW[0], img_w=HW[1])
+    cfg = DetectionTrainerConfig(
+        num_classes=NUM_CLASSES, input_hw=HW, max_boxes=8, lr=args.lr,
+        warmup_steps=min(max(20, args.steps // 10), max(args.steps // 2, 1)),
+        max_steps=args.steps,
+        ema_decay=0.999, ckpt_dir="/tmp/e2e_autospeed")
+    trainer = DetectionTrainer(model, cfg, seed=0)
+
+    rng = np.random.default_rng(0)
+    print("[e2e_autospeed] training...", flush=True)
+    t0 = time.time()
+    losses = []
+    for step in range(args.steps):
+        imgs, bs, ls, ms = [], [], [], []
+        for _ in range(args.batch):
+            img, boxes, labels = make_boxed_scene(rng)
+            b, l, m = pad_targets(boxes, labels, HW, cfg.max_boxes)
+            imgs.append(img); bs.append(b); ls.append(l); ms.append(m)
+        loss = trainer.fit_step(np.stack(imgs), np.stack(bs),
+                                np.stack(ls), np.stack(ms))
+        losses.append(loss)
+        if step % 50 == 0:
+            print(f"  step {step:4d} loss {loss:.4f}", flush=True)
+    train_s = time.time() - t0
+
+    # held-out validation through decode + fixed NMS (deployment path)
+    vrng = np.random.default_rng(1234)
+
+    def val_batches():
+        bsz = 8
+        scenes = [make_boxed_scene(vrng) for _ in range(args.val_scenes)]
+        for i in range(0, len(scenes), bsz):
+            chunk = scenes[i:i + bsz]
+            yield (np.stack([c[0] for c in chunk]),
+                   [c[1] for c in chunk], [c[2] for c in chunk])
+
+    print("[e2e_autospeed] validating...", flush=True)
+    map50, map5095 = trainer.validate(val_batches(), conf=args.conf)
+    print(json.dumps({
+        "metric": "e2e_autospeed_map",
+        "steps": args.steps, "batch": args.batch,
+        "final_loss": round(float(np.mean(losses[-20:])), 4),
+        "map50": round(float(map50), 4),
+        "map50_95": round(float(map5095), 4),
+        "bar_map50": 0.50,
+        "pass": bool(map50 >= 0.50),
+        "train_s": round(train_s, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
