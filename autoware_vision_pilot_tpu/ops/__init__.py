@@ -13,3 +13,4 @@ from .postprocess import (
     nms_fixed,
     blend_overlay,
 )
+from .smallsolve import solve3x3

@@ -31,6 +31,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.smallsolve import solve3x3
 from jax import lax
 
 # --- constants (lane_filter.hpp:30-63) ---
@@ -233,7 +235,7 @@ def _weighted_fit(weights, key):
         AtA = AtA + jnp.diag(jnp.where(
             jnp.arange(3) == 0, jnp.where(order == 1, 1.0, 0.0), 0.0)) * 1e-6
         Atb = (A * Wv[:, None]).T @ xf
-        coef = jnp.linalg.solve(AtA, Atb)
+        coef = solve3x3(AtA, Atb)
         return coef  # in normalized-y space [q2, q1, q0]
 
     # --- RANSAC (only effective when n > 12, like the reference) ---

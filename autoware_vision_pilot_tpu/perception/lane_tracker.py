@@ -18,6 +18,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ..ops.smallsolve import solve3x3
+
 # calibration homography (lane_tracking.hpp:73-77)
 H_ORIG_TO_BEV = jnp.array([
     [-1.79887412e-01, -6.05811422e-01, 6.02998251e+02],
@@ -94,7 +96,7 @@ def _masked_quadfit(pts, mask):
     A = jnp.stack([yn * yn, yn, jnp.ones_like(yn)], -1)
     AtA = (A * m[:, None]).T @ A + 1e-8 * jnp.eye(3)
     Atb = (A * m[:, None]).T @ x
-    q = jnp.linalg.solve(AtA, Atb)
+    q = solve3x3(AtA, Atb)
     a = q[0] * ysc * ysc
     b = q[1] * ysc
     c = q[2]

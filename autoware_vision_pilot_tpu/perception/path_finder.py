@@ -24,6 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.smallsolve import solve3x3
+
 STATE_DIM = 14
 PROC_SD = 0.5
 STD_M_CTE = 0.1
@@ -85,7 +87,7 @@ def fit_quad_poly(pts, mask):
     A = jnp.stack([y * y, y, jnp.ones_like(y)], -1)
     AtA = (A * m[:, None]).T @ A + 1e-9 * jnp.eye(3)
     Atb = (A * m[:, None]).T @ x
-    c = jnp.linalg.solve(AtA, Atb)
+    c = solve3x3(AtA, Atb)
     return jnp.where(n > 2, c, jnp.full(3, NAN))
 
 

@@ -37,7 +37,7 @@ def _quantize_int8(model, variables, x0, min_channels=128):
     return calibrate_int8_activation_scales(model, variables, cal)
 
 
-def build_pipeline(int8: bool = False):
+def build_pipeline(int8: bool = False, min_ch: int = 256):
     from autoware_vision_pilot_tpu.models import EgoLanesNetwork
     from autoware_vision_pilot_tpu.models.multitask import (
         SharedPerceptionStack)
@@ -57,8 +57,8 @@ def build_pipeline(int8: bool = False):
     stack_v = stack.init(key, x0)
     lanes_v = lanes.init(key, x0)
     if int8:
-        stack_v = _quantize_int8(stack, stack_v, x0)
-        lanes_v = _quantize_int8(lanes, lanes_v, x0)
+        stack_v = _quantize_int8(stack, stack_v, x0, min_channels=min_ch)
+        lanes_v = _quantize_int8(lanes, lanes_v, x0, min_channels=min_ch)
 
     # Two jitted programs (the remote-compile tunnel caps program size;
     # async dispatch overlaps execution). Preprocess fused into the first.
@@ -98,7 +98,7 @@ def build_pipeline(int8: bool = False):
     return pipeline
 
 
-def build_pipeline_fused(int8: bool = False):
+def build_pipeline_fused(int8: bool = False, min_ch: int = 256):
     """The reference configuration for non-tunneled deployments: ALL of
     preprocess + SceneSeg/Scene3D fused trunk + EgoLanes + postprocess in
     ONE XLA program (one dispatch per frame). Round 1 could not compile
@@ -121,8 +121,8 @@ def build_pipeline_fused(int8: bool = False):
     stack_v = stack.init(key, x0)
     lanes_v = lanes.init(key, x0)
     if int8:
-        stack_v = _quantize_int8(stack, stack_v, x0)
-        lanes_v = _quantize_int8(lanes, lanes_v, x0)
+        stack_v = _quantize_int8(stack, stack_v, x0, min_channels=min_ch)
+        lanes_v = _quantize_int8(lanes, lanes_v, x0, min_channels=min_ch)
 
     @jax.jit
     def fused_step(stack_v, lanes_v, frame_u8, prev_summary):
@@ -226,14 +226,19 @@ def bench_clip(batch: int = 10, clip_len: int = 100):
         "vs_baseline": round(fps / 30.0, 3)}))
 
 
-def main(fused: bool = False, int8: bool = False):
+def main(fused: bool = True, int8: bool = True, min_ch: int = 256):
+    # Default deployment config (round 5): ONE fused program with
+    # selective int8 at min_ch=256 — the configuration that passed the
+    # QAT >=0.999 argmax-agreement bar (0.99908) with int8 GT-mIoU at or
+    # above bf16 (BENCH_NOTES "Round 5: QAT closure"). bf16 fallback:
+    # --bf16.
     # persistent compilation cache (analog of the TRT engine cache),
     # keyed per machine+backend so foreign-host entries can't poison it
     from autoware_vision_pilot_tpu.core.cache import setup_compilation_cache
     setup_compilation_cache(pathlib.Path(__file__).parent / ".jax_cache")
 
-    pipeline = (build_pipeline_fused(int8=int8) if fused
-                else build_pipeline(int8=int8))
+    pipeline = (build_pipeline_fused(int8=int8, min_ch=min_ch) if fused
+                else build_pipeline(int8=int8, min_ch=min_ch))
     rng = np.random.default_rng(0)
     # Measurement contract (see BENCH_NOTES.md "Measurement validity"):
     # - DISTINCT frame per iteration: the remote terminal memoizes
@@ -347,4 +352,5 @@ if __name__ == "__main__":
         setup_compilation_cache(pathlib.Path(__file__).parent / ".jax_cache")
         bench_clip()
     else:
-        main(fused="--fused" in sys.argv, int8="--int8" in sys.argv)
+        main(fused="--unfused" not in sys.argv,
+             int8="--bf16" not in sys.argv)

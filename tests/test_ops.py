@@ -100,3 +100,20 @@ def test_threshold_argmax_depth():
     assert m.shape == (1, 8, 8)
     d = depth_minmax_scale(x[..., :1])
     assert float(jnp.min(d)) == 0.0 and abs(float(jnp.max(d)) - 1.0) < 1e-6
+
+
+def test_solve3x3_matches_linalg():
+    """Cramer-rule 3x3 solve (exported-program portable: no LAPACK
+    custom call) must match jnp.linalg.solve on well-conditioned
+    normal-equation systems."""
+    import numpy as np
+    import jax.numpy as jnp
+    from autoware_vision_pilot_tpu.ops.smallsolve import solve3x3
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        A = rng.normal(size=(3, 3)).astype(np.float32)
+        A = A @ A.T + 0.1 * np.eye(3, dtype=np.float32)  # SPD + ridge
+        b = rng.normal(size=(3,)).astype(np.float32)
+        got = np.asarray(solve3x3(jnp.asarray(A), jnp.asarray(b)))
+        want = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
