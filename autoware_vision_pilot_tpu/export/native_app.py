@@ -99,11 +99,15 @@ def export_native_app(step, init_state, frame_shape, out_dir,
                                  platforms=["cpu"])(frame0, *wire0)
     module_bytes = exported.mlir_module_serialized
 
-    # golden probe: one deterministic frame through the JAX step, so the
-    # C++ binary's first-iteration scalars can be parity-checked.
+    # golden probe: one deterministic frame through the EXPORTED module
+    # (exported.call replays the serialized StableHLO), so the C++
+    # binary's first iteration is checked against the exact program it
+    # runs. An eager wrapped() here would differ: unfused op-by-op
+    # arithmetic drifts from the jitted program by ULPs, and the lane
+    # RANSAC/threshold path amplifies that past any fixed tolerance.
     rng = np.random.default_rng(7)
     probe = jnp.asarray(rng.integers(0, 256, frame_shape, dtype=np.uint8))
-    probe_out = wrapped(probe, *wire0)
+    probe_out = exported.call(probe, *wire0)
     n_state = len(leaves)
     n_out = len(probe_out) - n_state
 
