@@ -209,14 +209,26 @@ def _weighted_fit(weights, key):
     h, w = weights.shape
     ys = jnp.arange(h)[:, None] * jnp.ones((1, w))
     xs = jnp.ones((h, 1)) * jnp.arange(w)[None, :]
-    wt = weights.reshape(-1).astype(jnp.float32)
-    yf = ys.reshape(-1)
-    xf = xs.reshape(-1)
+    wt_full = weights.reshape(-1).astype(jnp.float32)
 
-    n = jnp.sum(wt)
+    n = jnp.sum(wt_full)
+    yf_full = ys.reshape(-1)
+    y_min = jnp.min(jnp.where(wt_full > 0, yf_full, jnp.inf))
+    y_max = jnp.max(jnp.where(wt_full > 0, yf_full, -jnp.inf))
+
+    # Compact the point multiset to its top-K cells by weight ONCE, so
+    # the 50-hypothesis RANSAC (gumbel draws, inlier scoring, refit)
+    # runs K-wide instead of (H*W)-wide. Exact whenever <= K cells are
+    # nonzero (the sliding-window search marks lane-shaped sets, far
+    # below K at 80x160); beyond K the lightest points drop first —
+    # the same points RANSAC would never sample. 6.25x less work per
+    # hypothesis, and the vmapped fleet step's N=4 tiling cliff sat in
+    # these ops (BENCH_NOTES r5 "fleet N=4").
+    K = 2048
+    wt, top_idx = lax.top_k(wt_full, K)
+    yf = yf_full[top_idx]
+    xf = xs.reshape(-1)[top_idx]
     have_pts = wt > 0
-    y_min = jnp.min(jnp.where(have_pts, yf, jnp.inf))
-    y_max = jnp.max(jnp.where(have_pts, yf, -jnp.inf))
 
     order = jnp.where(n < 30, 1, 2)
     sc = 1.0 / (h - 1)
@@ -242,12 +254,25 @@ def _weighted_fit(weights, key):
     npts = order + 1
 
     def one_hypothesis(k):
-        idx = jax.random.choice(k, wt.shape[0], shape=(3,), replace=False,
-                                p=wt / jnp.maximum(n, 1))
+        # weighted sampling without replacement = Gumbel top-k (the same
+        # trick jax.random.choice(replace=False, p=...) uses), but the
+        # fit then GATHERS the 3 sampled points instead of scattering a
+        # one-hot weight vector over all H*W points: the per-hypothesis
+        # cost drops from a (H*W,3) masked normal-equations build to a
+        # (3,3) one. At fleet batch 4 the vmapped scatter+matmul was the
+        # stage whose tiling stepped superlinearly (BENCH_NOTES r5
+        # "fleet N=4"); the gather form scales flat.
+        g = jax.random.gumbel(k, wt.shape) + \
+            jnp.log(wt / jnp.maximum(n, 1))
+        idx = lax.top_k(g, 3)[1]
         # use only npts (= order+1) of the 3 sampled points
-        keep = jnp.arange(3) < npts
-        sel = jnp.zeros_like(wt).at[idx].set(keep.astype(jnp.float32))
-        coef = wlsq(sel)
+        keep = (jnp.arange(3) < npts).astype(jnp.float32)
+        a3 = design(yf[idx], order)
+        AtA = (a3 * keep[:, None]).T @ a3
+        AtA = AtA + jnp.diag(jnp.where(
+            jnp.arange(3) == 0, jnp.where(order == 1, 1.0, 0.0), 0.0)) * 1e-6
+        Atb = (a3 * keep[:, None]).T @ xf[idx]
+        coef = solve3x3(AtA, Atb)
         pred = design(yf, order) @ coef
         inl = (jnp.abs(pred - xf) < RANSAC_THRESHOLD) & have_pts
         return coef, jnp.sum(jnp.where(inl, wt, 0.0)), inl
