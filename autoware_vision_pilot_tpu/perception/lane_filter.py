@@ -224,7 +224,7 @@ def _weighted_fit(weights, key):
     # the same points RANSAC would never sample. 6.25x less work per
     # hypothesis, and the vmapped fleet step's N=4 tiling cliff sat in
     # these ops (BENCH_NOTES r5 "fleet N=4").
-    K = 2048
+    K = min(2048, wt_full.shape[0])  # tiny test masks fit whole
     wt, top_idx = lax.top_k(wt_full, K)
     yf = yf_full[top_idx]
     xf = xs.reshape(-1)[top_idx]
