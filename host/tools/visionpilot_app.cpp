@@ -32,9 +32,13 @@
 //       [--lon <name2>]            also run the <name2> detection bundle
 //                                  from the same dir + the native
 //                                  longitudinal stack
-//       [--ego-speed V]            ego speed m/s for RSS/PID (no native
-//                                  CAN input; default 10.0 = the Python
-//                                  app's ego_speed_default_ms)
+//       [--can <iface|log.asc>]    ego speed/steering from SocketCAN or
+//                                  a Vector .asc replay (0xA1 speed,
+//                                  0xA4 steering; reference
+//                                  can_interface.cpp contract)
+//       [--ego-speed V]            fallback ego speed m/s for RSS/PID
+//                                  while CAN is absent/invalid (default
+//                                  10.0 = ego_speed_default_ms)
 //       [--state-shm <seg>]        publish segment (default
 //                                  /visionpilot_state)
 //       [--dump <out.npy>]         write the FINAL iteration's out_0
@@ -52,6 +56,7 @@
 #include <string>
 #include <vector>
 
+#include "avp/can_reader.hpp"
 #include "avp/frame_ring.hpp"
 #include "avp/longitudinal.hpp"
 #include "avp/shared_state.hpp"
@@ -217,7 +222,7 @@ int main(int argc, char** argv) {
   }
   const std::string dir = argv[1];
   const std::string name = argv[2];
-  std::string frames_npy, ring_name, dump_npy, lon_name;
+  std::string frames_npy, ring_name, dump_npy, lon_name, can_src;
   std::string state_shm = "/visionpilot_state";
   long max_frames = -1;
   bool golden = false;
@@ -233,6 +238,8 @@ int main(int argc, char** argv) {
       golden = true;
     else if (!std::strcmp(argv[i], "--lon") && i + 1 < argc)
       lon_name = argv[++i];
+    else if (!std::strcmp(argv[i], "--can") && i + 1 < argc)
+      can_src = argv[++i];
     else if (!std::strcmp(argv[i], "--ego-speed") && i + 1 < argc)
       ego_speed = std::atof(argv[++i]);
     else if (!std::strcmp(argv[i], "--state-shm") && i + 1 < argc)
@@ -264,6 +271,8 @@ int main(int argc, char** argv) {
   avp::lon::ObjectFinder finder(hom, (int)man.frame_w, (int)man.frame_h);
   avp::lon::SpeedPlanner planner;
   avp::lon::PIController pid(0.5, 0.1, 0.05);  // LongitudinalConfig gains
+  avp::can::CanReader* can = nullptr;
+  if (!can_src.empty()) can = new avp::can::CanReader(can_src);
 
   // --- frame source -------------------------------------------------------
   avp::NpyArrayU8 stack;
@@ -361,6 +370,19 @@ int main(int argc, char** argv) {
       st.lane_departure_warning = st.path_valid && std::fabs(scal[3]) > 0.9;
     }
 
+    // CAN poll once per captured frame (main.cpp:427-432); graceful
+    // degradation: invalid CAN keeps the fallback ego speed.
+    double ego_now = ego_speed;
+    if (can != nullptr) {
+      const double now_can = std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - wall0).count();
+      const auto& cs = can->update(now_can);
+      st.can_valid = cs.valid;
+      st.ego_steering_angle_deg = cs.steering_angle_deg;
+      if (cs.valid) ego_now = cs.speed_ms;
+      st.ego_speed_ms = ego_now;
+    }
+
     if (with_lon) {
       // detection table (max_det, 7): x1,y1,x2,y2,score,class,valid
       const float* tab = (const float*)TF_TensorData(lon_out[0]);
@@ -377,13 +399,13 @@ int main(int argc, char** argv) {
       const auto trk = finder.update_and_get_cipo(dets, now, fdata);
 
       // wiring order matches runtime/pipeline.py:_harvest:369-387
-      planner.set_ego_speed(ego_speed);
+      planner.set_ego_speed(ego_now);
       planner.set_is_cipo_present(trk.cipo.exists);
       if (trk.cipo.exists)
         planner.set_cipo_state(trk.cipo.velocity_ms, trk.cipo.distance_m);
       const double set_speed = planner.calc_ideal_driving_speed();
       if (trk.cut_in_detected || trk.kalman_reset) pid.reset();
-      const double effort = pid.compute_effort(ego_speed, set_speed);
+      const double effort = pid.compute_effort(ego_now, set_speed);
 
       st.cipo_exists = trk.cipo.exists;
       st.cipo_track_id = trk.cipo.track_id;
@@ -397,7 +419,7 @@ int main(int argc, char** argv) {
       st.fcw_active = planner.fcw();
       st.aeb_active = planner.aeb();
       st.control_effort_ms2 = effort;
-      st.ego_speed_ms = ego_speed;
+      st.ego_speed_ms = ego_now;
     }
     shm.publish(st);
 
@@ -431,6 +453,7 @@ int main(int argc, char** argv) {
 
   lat.unload();
   if (with_lon) lon.unload();
+  delete can;
   delete ring;
   return golden_ok ? 0 : 1;
 }

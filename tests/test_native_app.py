@@ -238,3 +238,54 @@ def test_native_app_longitudinal_full_pod(app_build, bundle):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_native_app_can_replay(app_build, bundle, tmp_path):
+    """--can <log.asc>: the native CAN reader feeds ego speed/steering
+    into the published POD (reference can_interface.cpp 0xA1/0xA4
+    contract; same .asc format drivers/can_interface.py replays)."""
+    from autoware_vision_pilot_tpu.host.shm import SharedStateReader
+    import autoware_vision_pilot_tpu.host.shm as shm_mod
+    if app_build / "libavp_host.so" not in shm_mod._LIB_PATHS:
+        shm_mod._LIB_PATHS.append(app_build / "libavp_host.so")
+    if shm_mod._load_lib() is None:
+        pytest.skip("libavp_host.so not built")
+
+    # speed 15.00 m/s = 1500 * 0.01 -> LE DC 05; steering -12.5 deg =
+    # -125 * 0.1 -> LE 83 FF
+    asc = tmp_path / "log.asc"
+    asc.write_text(
+        "0.000 1 A1 Rx d 8 DC 05 00 00 00 00 00 00\n"
+        "0.001 1 A4 Rx d 8 83 FF 00 00 00 00 00 00\n")
+    out, _ = bundle
+    seg = "/avp_nativeapp_t4"
+    proc = subprocess.Popen(
+        [str(app_build / "visionpilot_app"), str(out), "tiny",
+         "--lon", "tinylon", "--can", str(asc),
+         "--frames", str(out / "stack.npy"),
+         "--max-frames", "2000000", "--state-shm", seg],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        reader = None
+        deadline = time.time() + 120
+        got = None
+        while time.time() < deadline:
+            if reader is None:
+                try:
+                    reader = SharedStateReader(seg)
+                except RuntimeError:
+                    time.sleep(0.2)
+                    continue
+            st = reader.read()
+            if st.can_valid and st.frame_number > 2:
+                got = st
+                break
+            time.sleep(0.05)
+        assert got is not None, "CAN state never became valid"
+        assert abs(got.ego_speed_ms - 15.0) < 1e-9
+        assert abs(got.ego_steering_angle_deg - (-12.5)) < 1e-9
+        # planner must consume the CAN speed: cruise set-speed = v + 0.5
+        assert got.ideal_speed_ms <= 15.5 + 1e-9
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
