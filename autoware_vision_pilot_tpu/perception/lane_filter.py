@@ -51,6 +51,9 @@ MAX_WIN_W = 6
 MIN_PIXELS_FOR_FIT = 4
 EMPTY_THRESHOLD = 12
 
+# The reference's RANSAC constants, kept for contract documentation:
+# its acceptance condition can never fire (see _weighted_fit), so no
+# hypothesis loop runs here.
 RANSAC_ITERS = 50
 RANSAC_THRESHOLD = 2.0
 SMOOTHING = 0.5
@@ -228,7 +231,6 @@ def _weighted_fit(weights, key):
     wt, top_idx = lax.top_k(wt_full, K)
     yf = yf_full[top_idx]
     xf = xs.reshape(-1)[top_idx]
-    have_pts = wt > 0
 
     order = jnp.where(n < 30, 1, 2)
     sc = 1.0 / (h - 1)
@@ -250,42 +252,25 @@ def _weighted_fit(weights, key):
         coef = solve3x3(AtA, Atb)
         return coef  # in normalized-y space [q2, q1, q0]
 
-    # --- RANSAC (only effective when n > 12, like the reference) ---
+    # --- RANSAC: provably a no-op in the reference, so not computed ---
+    # The reference defaults best_inliers to ALL points and replaces it
+    # only when a hypothesis has STRICTLY MORE inliers
+    # (production_release/src/lane_filtering/lane_filter.cpp:140
+    # "Default to all points if RANSAC finds nothing better" and :172
+    # `current_inliers.size() > best_inliers.size()`). Inliers are a
+    # subset of the points, so no hypothesis can ever exceed the
+    # all-points default and the refit ALWAYS runs on every point —
+    # the reference's ransac_iterations loop is dead weight. Earlier
+    # rounds ported that loop faithfully (50 vmapped hypotheses; see
+    # git history for the gumbel-top-k form); round-5 review proved the
+    # acceptance condition unsatisfiable, so the hypotheses are skipped
+    # outright: bit-identical outputs (oracle tests unchanged), and the
+    # fleet lane_filter stage drops the 50x per-hypothesis work.
+    # `key` stays in the signature: a live outlier-rejecting RANSAC
+    # (a deliberate behavior CHANGE vs the reference) would reuse it.
+    del key
     npts = order + 1
-
-    def one_hypothesis(k):
-        # weighted sampling without replacement = Gumbel top-k (the same
-        # trick jax.random.choice(replace=False, p=...) uses), but the
-        # fit then GATHERS the 3 sampled points instead of scattering a
-        # one-hot weight vector over all H*W points: the per-hypothesis
-        # cost drops from a (H*W,3) masked normal-equations build to a
-        # (3,3) one. At fleet batch 4 the vmapped scatter+matmul was the
-        # stage whose tiling stepped superlinearly (BENCH_NOTES r5
-        # "fleet N=4"); the gather form scales flat.
-        g = jax.random.gumbel(k, wt.shape) + \
-            jnp.log(wt / jnp.maximum(n, 1))
-        idx = lax.top_k(g, 3)[1]
-        # use only npts (= order+1) of the 3 sampled points
-        keep = (jnp.arange(3) < npts).astype(jnp.float32)
-        a3 = design(yf[idx], order)
-        AtA = (a3 * keep[:, None]).T @ a3
-        AtA = AtA + jnp.diag(jnp.where(
-            jnp.arange(3) == 0, jnp.where(order == 1, 1.0, 0.0), 0.0)) * 1e-6
-        Atb = (a3 * keep[:, None]).T @ xf[idx]
-        coef = solve3x3(AtA, Atb)
-        pred = design(yf, order) @ coef
-        inl = (jnp.abs(pred - xf) < RANSAC_THRESHOLD) & have_pts
-        return coef, jnp.sum(jnp.where(inl, wt, 0.0)), inl
-
-    keys = jax.random.split(key, RANSAC_ITERS)
-    coefs, scores, inls = jax.vmap(one_hypothesis)(keys)
-    best = jnp.argmax(scores)
-    best_score = scores[best]
-    best_inl = inls[best]
-
-    # default inliers = all points; hypothesis wins only if strictly more
-    use_ransac = (n > 12) & (best_score > n)
-    inlier_w = jnp.where(use_ransac, jnp.where(best_inl, wt, 0.0), wt)
+    inlier_w = wt
 
     coef = wlsq(inlier_w)
     # rescale normalized coeffs back to pixel y: x = q2*(y*sc)^2 + q1*(y*sc) + q0

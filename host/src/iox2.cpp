@@ -61,7 +61,13 @@ ServiceCore::ServiceCore(const std::string& service_name,
     // loudly instead of silently wiping it.
     const int flags = create ? (O_CREAT | O_EXCL | O_RDWR) : O_RDWR;
     fd_ = shm_open(shm_name_.c_str(), flags, 0666);
-    if (fd_ < 0) return;
+    if (fd_ < 0) {
+        // a second publisher hitting EEXIST must NOT be treated as
+        // owner: its destructor would shm_unlink the FIRST publisher's
+        // live segment
+        owner_ = false;
+        return;
+    }
 
     size_t total = seg_size(n_slots, payload_bytes);
     if (create) {

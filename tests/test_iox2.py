@@ -166,10 +166,20 @@ def test_second_creator_fails_loudly(iox2_build):
     from autoware_vision_pilot_tpu.host.iox2 import (
         CIPOMessageStruct, Iox2Service)
     with Iox2Service("AVPTest/Excl", CIPOMessageStruct, n_slots=4,
-                     create=True):
+                     create=True) as pub:
         with pytest.raises(RuntimeError):
             Iox2Service("AVPTest/Excl", CIPOMessageStruct, n_slots=4,
                         create=True)
+        # the failed creator must NOT have unlinked the live segment: a
+        # brand-new subscriber still attaches and receives
+        m = pub.loan()
+        m.frame_id = 9
+        pub.publish()
+        sub = Iox2Service("AVPTest/Excl", CIPOMessageStruct, n_slots=4,
+                          create=False, timeout_ms=2000)
+        got = sub.receive()
+        assert got is not None and got.frame_id == 9
+        sub.close()
 
 
 def test_loaned_slot_has_no_stale_bytes(iox2_build):
