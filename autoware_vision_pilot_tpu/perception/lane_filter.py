@@ -9,9 +9,10 @@ TPU-native rebuild of production_release/src/lane_filtering/lane_filter.cpp
   perspective-aware window width (1 px above y=40, 6 px below), strict-ego
   mode above y=40, >=3-pixel windows accepted, 12-empty-window cutoff,
   horizon cutoff at 25% height (slidingWindowSearch).
-- RANSAC polynomial fit: dynamic order (quad if >=30 points else linear),
-  50 hypotheses, 2.0 px inlier threshold, least-squares refit on the best
-  inlier set; coeffs packed [a3,a2,a1,a0,y_min,y_max] (fitPoly).
+- polynomial fit: dynamic order (quad if >=30 points else linear),
+  weighted least squares on all collected points; coeffs packed
+  [a3,a2,a1,a0,y_min,y_max] (fitPoly). The reference's RANSAC loop is
+  provably a no-op (see _weighted_fit) and is not computed.
 - EMA temporal smoothing (factor 0.5) against the previous valid fit.
 
 TPU-idiomatic formulation: the whole update is ONE jitted function. The
@@ -19,10 +20,7 @@ sequential window walk is a ``lax.scan`` over a fixed step budget; pixel
 collection inside a window is a masked reduction over the full (80,160)
 grid (12.8k lanes of VPU work — cheaper than gather); "point lists" become
 integer weight images (windows may revisit pixels; weights preserve the
-multiset semantics); RANSAC is a vmapped batch of 50 hypothesis fits.
-Randomness uses JAX PRNG (the reference uses an unseeded std::mt19937, so
-bit-equality is undefined there; equivalence is statistical, tested on the
-deterministic paths + downstream metrics).
+multiset semantics), compacted to their top-K cells before the fit.
 """
 from __future__ import annotations
 
@@ -57,7 +55,6 @@ EMPTY_THRESHOLD = 12
 RANSAC_ITERS = 50
 RANSAC_THRESHOLD = 2.0
 SMOOTHING = 0.5
-MAX_POINTS = 512  # fixed-size point buffer for RANSAC sampling
 
 
 class LaneFilterState(NamedTuple):

@@ -18,8 +18,10 @@ constexpr uint32_t kSpeedFrameId = 0xA1;
 constexpr uint32_t kSteeringFrameId = 0xA4;
 
 struct VehicleState {
-    double speed_ms = 0.0;
-    double steering_angle_deg = 0.0;
+    // NaN until a decodable frame arrives (Python-driver parity:
+    // valid is derived as !isnan(speed))
+    double speed_ms = __builtin_nan("");
+    double steering_angle_deg = __builtin_nan("");
     bool valid = false;
 };
 

@@ -10,6 +10,8 @@
 #include <linux/can/raw.h>
 
 #include <algorithm>
+#include <cmath>
+#include <limits>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
@@ -54,13 +56,22 @@ CanReader::~CanReader() {
 }
 
 void CanReader::apply(uint32_t id, const uint8_t* data, size_t len) {
-    if (id == kSpeedFrameId && len >= 2) {
-        state_.speed_ms = (double)(uint16_t)(data[0] | (data[1] << 8)) * 0.01;
-        state_.valid = true;
-    } else if (id == kSteeringFrameId && len >= 2) {
+    // Python-driver parity (drivers/can_interface.py:_apply): a short
+    // speed frame decodes to NaN and INVALIDATES the state (stale speed
+    // must not keep driving RSS/PID), and validity is re-derived from
+    // the speed on EVERY applied frame.
+    if (id == kSpeedFrameId) {
+        state_.speed_ms =
+            len >= 2 ? (double)(uint16_t)(data[0] | (data[1] << 8)) * 0.01
+                     : std::numeric_limits<double>::quiet_NaN();
+    } else if (id == kSteeringFrameId) {
         state_.steering_angle_deg =
-            (double)(int16_t)(data[0] | (data[1] << 8)) * 0.1;
+            len >= 2 ? (double)(int16_t)(data[0] | (data[1] << 8)) * 0.1
+                     : std::numeric_limits<double>::quiet_NaN();
+    } else {
+        return;
     }
+    state_.valid = !std::isnan(state_.speed_ms);
 }
 
 void CanReader::load_asc(const std::string& path) {

@@ -172,6 +172,14 @@ std::vector<Track> ObjectFinder::update(const std::vector<Detection>& dets,
         assoc.push_back({di, best});
     }
 
+    // Python-parity snapshot semantics: Python's prev_tracks aliases the
+    // OLD list's objects, which update() mutates IN PLACE — so a matched
+    // track's snapshot carries THIS frame's kalman, and an unmatched
+    // track's carries the incremented frames_unmatched. Value-semantics
+    // C++ must write those mutations back into the snapshot explicitly,
+    // or the CIPO model-confusion transfer (get_cipo) restores a
+    // one-frame-stale filter.
+    std::vector<Track> prev_snapshot = tracks_;
     std::vector<Track> new_tracks;
     for (const Assoc& a : assoc) {
         const Detection& det = dets[a.di];
@@ -201,16 +209,18 @@ std::vector<Track> ObjectFinder::update(const std::vector<Detection>& dets,
         obj.bbox = bbox;
         obj.confidence = det.conf;
         obj.last_update_time = now;
+        if (a.ti >= 0) prev_snapshot[a.ti] = obj;
         new_tracks.push_back(obj);
     }
     for (int ti = 0; ti < (int)tracks_.size(); ++ti) {
         if (track_matched[ti]) continue;
         Track tr = tracks_[ti];
         tr.frames_unmatched += 1;
+        prev_snapshot[ti] = tr;
         if (tr.frames_unmatched <= kMaxFramesUnmatched)
             new_tracks.push_back(tr);
     }
-    prev_tracks_ = tracks_;
+    prev_tracks_ = std::move(prev_snapshot);
     tracks_ = std::move(new_tracks);
     return tracks_;
 }

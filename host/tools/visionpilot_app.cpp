@@ -49,6 +49,7 @@
 // Exit 0 on success (and golden parity, if requested).
 
 #include <chrono>
+#include <thread>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
@@ -261,7 +262,21 @@ int main(int argc, char** argv) {
 
   Program lon;
   const bool with_lon = !lon_name.empty();
-  if (with_lon) lon.load(dir, lon_name);
+  if (with_lon) {
+    lon.load(dir, lon_name);
+    // both programs consume the SAME frame buffer: a dim mismatch would
+    // be an out-of-bounds read, not a smaller inference — refuse early
+    if (lon.man.frame_h != man.frame_h || lon.man.frame_w != man.frame_w ||
+        lon.man.frame_c != man.frame_c) {
+      std::fprintf(stderr,
+                   "--lon bundle frame dims (%lldx%lldx%lld) do not match "
+                   "the lateral bundle's (%lldx%lldx%lld)\n",
+                   (long long)lon.man.frame_h, (long long)lon.man.frame_w,
+                   (long long)lon.man.frame_c, (long long)man.frame_h,
+                   (long long)man.frame_w, (long long)man.frame_c);
+      return 2;
+    }
+  }
 
   // native longitudinal stack (reference main.cpp:662-785); flat-ground
   // homography placeholder — production passes a calibrated one via the
@@ -344,9 +359,16 @@ int main(int argc, char** argv) {
     }
 
     auto t0 = std::chrono::steady_clock::now();
-    std::vector<TF_Tensor*> lat_out = lat.run(fdata);
+    // the two programs are independent consumers of the same frame:
+    // dispatch the detector on a second thread and overlap it with the
+    // lateral program (distinct TF_Sessions are thread-safe to run
+    // concurrently)
     std::vector<TF_Tensor*> lon_out;
-    if (with_lon) lon_out = lon.run(fdata);
+    std::thread lon_thread;
+    if (with_lon)
+      lon_thread = std::thread([&] { lon_out = lon.run(fdata); });
+    std::vector<TF_Tensor*> lat_out = lat.run(fdata);
+    if (lon_thread.joinable()) lon_thread.join();
     infer_s += std::chrono::duration<double>(std::chrono::steady_clock::now()
                                              - t0).count();
 
@@ -378,7 +400,8 @@ int main(int argc, char** argv) {
           std::chrono::steady_clock::now() - wall0).count();
       const auto& cs = can->update(now_can);
       st.can_valid = cs.valid;
-      st.ego_steering_angle_deg = cs.steering_angle_deg;
+      st.ego_steering_angle_deg =
+          std::isnan(cs.steering_angle_deg) ? 0.0 : cs.steering_angle_deg;
       if (cs.valid) ego_now = cs.speed_ms;
       st.ego_speed_ms = ego_now;
     }

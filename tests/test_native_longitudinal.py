@@ -182,3 +182,14 @@ def test_rss_bands(harness, tmp_path):
             f"frame {t}"
         assert abs(float(n["effort"]) - p["effort"]) <= 1e-5 * max(
             1.0, abs(p["effort"]))
+
+
+def test_kalman_transfer_uses_current_frame_filter(harness):
+    """CIPO model-confusion transfer must inherit the donor track's
+    filter AS OF THIS FRAME (Python prev_tracks aliases objects mutated
+    in place). C++-side selftest: replicates the donor filter manually
+    and requires exact equality of the transferred state."""
+    out = subprocess.run([str(harness), "--selftest-transfer"],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "selftest-transfer: ok" in out.stdout
