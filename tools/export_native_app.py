@@ -69,7 +69,8 @@ def main():
     if args.longitudinal:
         from autoware_vision_pilot_tpu.models.auto_speed import (
             AutoSpeedNetwork)
-        from autoware_vision_pilot_tpu.runtime import build_longitudinal_step
+        from autoware_vision_pilot_tpu.runtime.pipeline import (
+            build_longitudinal_step)
         speed_vars = AutoSpeedNetwork(variant="n", num_classes=4,
                                       img_h=640, img_w=640, **kw).init(
             key, jnp.zeros((1, 640, 640, 3), dtype))
