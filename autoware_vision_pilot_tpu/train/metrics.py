@@ -60,6 +60,9 @@ def average_precision(recalls, precisions):
     """COCO 101-point interpolated AP: mean over recall grid of the
     precision envelope max{p_i : r_i >= r}."""
     r = np.asarray(recalls)
+    if r.size == 0:
+        # a class with ground truth but no predictions at all: AP = 0
+        return 0.0
     p = np.maximum.accumulate(np.asarray(precisions)[::-1])[::-1]
     grid = np.linspace(0, 1, 101)
     # index of first recall >= grid point

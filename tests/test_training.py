@@ -94,6 +94,18 @@ def test_detection_map_miss():
     assert m50 == 0.0
 
 
+def test_detection_map_class_with_no_predictions():
+    # regression: a class present in GT but absent from every prediction
+    # produced empty recall/precision arrays and crashed the 101-point
+    # interpolation (IndexError on an empty envelope). AP must be 0 for
+    # that class, not an exception.
+    preds = [(np.array([[10, 10, 50, 50]]), np.array([0.9]), np.array([0]))]
+    gts = [(np.array([[10, 10, 50, 50], [60, 60, 90, 90]]),
+            np.array([0, 1]))]
+    m50, m = detection_map(preds, gts, num_classes=2)
+    assert m50 == 0.5 and m == 0.5
+
+
 @pytest.mark.heavy
 def test_augmentations_shapes_and_determinism():
     rng = np.random.default_rng(4)

@@ -129,6 +129,7 @@ def main():
             yield (np.stack([c[0] for c in chunk]),
                    [c[1] for c in chunk], [c[2] for c in chunk])
 
+    trainer.save("final")  # validation crashes must not lose the run
     print("[e2e_autospeed] validating...", flush=True)
     map50, map5095 = trainer.validate(val_batches(), conf=args.conf)
     print(json.dumps({
