@@ -38,6 +38,13 @@ class DetectionTrainerConfig:
     max_steps: int = 10000
     weight_decay: float = 5e-4
     ema_decay: float = 0.9999
+    # ramp the effective decay as decay*(1-exp(-updates/tau)) so the EMA
+    # tracks the live params early in training instead of clinging to
+    # the random init (the reference's ultralytics-style ModelEMA,
+    # Models/training/auto_speed_util.py:438-460, uses exactly this;
+    # without it a 600-step run validates an EMA that is still ~55%
+    # random init at decay=0.999).
+    ema_tau: float = 2000.0
     grad_clip_norm: float = 10.0
     gains: Dict[str, float] = dataclasses.field(
         default_factory=lambda: {"box": 7.5, "cls": 0.5, "dfl": 1.5})
@@ -71,7 +78,7 @@ class DetectionTrainer:
         self.rng = jax.random.key(seed + 1)
 
         def train_step(params, batch_stats, opt_state, ema, images, boxes,
-                       labels, mask, key):
+                       labels, mask, key, n_updates):
             def loss_fn(p, bs):
                 outs, mut = model.apply(
                     {"params": p, "batch_stats": bs}, images, train=True,
@@ -85,9 +92,9 @@ class DetectionTrainer:
                 loss_fn, has_aux=True)(params, batch_stats)
             updates, new_opt = self.tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
+            d = cfg.ema_decay * (1.0 - jnp.exp(-n_updates / cfg.ema_tau))
             new_ema = jax.tree.map(
-                lambda e, p: e * cfg.ema_decay + p * (1 - cfg.ema_decay),
-                ema, new_params)
+                lambda e, p: e * d + p * (1 - d), ema, new_params)
             return new_params, new_bs, new_opt, new_ema, loss, parts
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
@@ -103,15 +110,19 @@ class DetectionTrainer:
         (self.params, self.batch_stats, self.opt_state, self.ema_params,
          loss, parts) = self._train_step(
             self.params, self.batch_stats, self.opt_state, self.ema_params,
-            x, jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(mask), k)
+            x, jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(mask), k,
+            jnp.float32(self.step + 1))
         self.step += 1
         return float(loss)
 
     def validate(self, val_batches: Iterator, conf: float = 0.001,
-                 iou: float = 0.65, max_det: int = 300) -> Tuple[float, float]:
+                 iou: float = 0.65, max_det: int = 300,
+                 use_ema: bool = True) -> Tuple[float, float]:
         """val_batches yields (images_u8, gt_boxes_xyxy_px list, gt_cls
-        list). Uses EMA weights (strip_optimizer semantics)."""
-        eval_vars = {"params": self.ema_params,
+        list). Uses EMA weights (strip_optimizer semantics) by default;
+        use_ema=False scores the live params (diagnostic for short runs
+        where even the ramped EMA lags)."""
+        eval_vars = {"params": self.ema_params if use_ema else self.params,
                      "batch_stats": self.batch_stats}
 
         @jax.jit
