@@ -36,20 +36,46 @@ from autoware_vision_pilot_tpu.models.auto_speed import AutoSpeedNetwork
 
 
 def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    int8 = "--int8" in sys.argv
+    n_frames = int(args[0]) if args else 100
     cfg = Config()
     cfg.target_fps = 0.0  # unpaced
 
     dtype = jnp.bfloat16
     kw = dict(dtype=dtype, param_dtype=dtype)
     rng = jax.random.key(0)
-    lanes_v = EgoLanesNetwork(**kw).init(
-        rng, jnp.zeros((1, 320, 640, 3), dtype))
+    lanes_net = EgoLanesNetwork(**kw)
+    speed_net = AutoSpeedNetwork(variant="n", num_classes=4, img_h=640,
+                                 img_w=640, **kw)
+    lanes_v = lanes_net.init(rng, jnp.zeros((1, 320, 640, 3), dtype))
     steer_v = AutoSteerTemporalNet(**kw).init(
         rng, jnp.zeros((1, 80, 160, 6), dtype))
-    speed_v = AutoSpeedNetwork(variant="n", num_classes=4, img_h=640,
-                               img_w=640, **kw).init(
-        rng, jnp.zeros((1, 640, 640, 3), dtype))
+    speed_v = speed_net.init(rng, jnp.zeros((1, 640, 640, 3), dtype))
+
+    if int8:
+        # the QAT-certified deployment config (min_ch=256, BENCH_NOTES r5):
+        # calibrate each net on the EXACT tensors the app step feeds it
+        from autoware_vision_pilot_tpu.export.quantize import (
+            quantize_variables_for_int8_conv,
+            calibrate_int8_activation_scales)
+        from autoware_vision_pilot_tpu.ops import preprocess_imagenet
+        from autoware_vision_pilot_tpu.ops.preprocess import letterbox
+        crng = np.random.default_rng(7)
+        frames = [jnp.asarray(crng.integers(0, 255, (720, 1280, 3),
+                                            dtype=np.uint8))
+                  for _ in range(4)]
+        lanes_v = quantize_variables_for_int8_conv(lanes_v, 256)
+        lanes_v = calibrate_int8_activation_scales(
+            lanes_net, lanes_v,
+            [preprocess_imagenet(f[None, 420:], (320, 640), dtype=dtype)
+             for f in frames])
+        speed_v = quantize_variables_for_int8_conv(speed_v, 256)
+        speed_v = calibrate_int8_activation_scales(
+            speed_net, speed_v,
+            [letterbox(f[None], (640, 640), (720, 1280), dtype=dtype)[0]
+             for f in frames])
+        print("-- int8 (min_ch=256, PTQ-calibrated static scales)")
 
     lat = LateralPipeline(lanes_v, steer_v, cfg, dtype=dtype)
     lon = LongitudinalPipeline(speed_v, cfg, dtype=dtype)
